@@ -1,0 +1,170 @@
+"""Pure-numpy pixel-level primitives.
+
+The reference implements these with OpenCV (``cv2.boxFilter`` /
+``cv2.sqrBoxFilter`` / ``cv2.erode``) and rasterio (``warp.reproject``,
+``fill.fillnodata``).  Neither library is a dependency here: every primitive
+is re-derived in numpy with identical zero-border semantics, using integral
+images (exact, O(HW) independent of kernel size — the numpy analogue of the
+reference's DFT-for-large-kernels note at
+``/root/reference/homonim/kernel_model.py:51-53``).
+
+These run *inside* Arrow-batched pandas UDFs only — never on the driver for
+real data.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def box_sum(arr: np.ndarray, kernel_shape: Tuple[int, int]) -> np.ndarray:
+    """Unnormalized sliding-window sum with constant-zero borders.
+
+    Semantics match ``cv2.boxFilter(arr, -1, ksize, normalize=False,
+    borderType=cv2.BORDER_CONSTANT)`` as used throughout the reference
+    (``/root/reference/homonim/kernel_model.py:255-258,331-342``): the kernel
+    is centered (odd shapes only — enforced upstream like the reference's
+    ``utils.validate_kernel_shape``), pixels outside the array count as 0.
+
+    Accumulates in float64 (integral image) and returns float32.
+    """
+    kh, kw = int(kernel_shape[0]), int(kernel_shape[1])
+    if kh == 1 and kw == 1:
+        return arr.astype(np.float32, copy=True)
+    return _box_sum_clipped(arr, kh, kw, kh // 2, kw // 2)
+
+
+def _box_sum_clipped(arr: np.ndarray, kh: int, kw: int, ph: int, pw: int) -> np.ndarray:
+    h, w = arr.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = arr
+    np.cumsum(ii, axis=0, out=ii)
+    np.cumsum(ii, axis=1, out=ii)
+    r0 = np.clip(np.arange(h) - ph, 0, h)
+    r1 = np.clip(np.arange(h) - ph + kh, 0, h)
+    c0 = np.clip(np.arange(w) - pw, 0, w)
+    c1 = np.clip(np.arange(w) - pw + kw, 0, w)
+    out = ii[np.ix_(r1, c1)] - ii[np.ix_(r0, c1)] - ii[np.ix_(r1, c0)] + ii[np.ix_(r0, c0)]
+    return out.astype(np.float32)
+
+
+def sqr_box_sum(arr: np.ndarray, kernel_shape: Tuple[int, int]) -> np.ndarray:
+    """``cv2.sqrBoxFilter`` analogue: sliding sum of squares, zero border."""
+    return box_sum(arr * arr, kernel_shape)
+
+
+def erode_rect(mask: np.ndarray, se_shape: Tuple[int, int]) -> np.ndarray:
+    """Binary erosion by a centered rectangular structuring element with
+    constant-zero border — matches ``cv2.erode(mask, MORPH_RECT(se),
+    borderType=BORDER_CONSTANT, borderValue=0)`` as used by the reference's
+    full-coverage (partial) masking
+    (``/root/reference/homonim/kernel_model.py:407-408``).
+
+    A pixel survives iff every pixel under the SE is 1 — i.e. the box sum of
+    the 0/1 mask equals the SE area.
+    """
+    sh, sw = int(se_shape[0]), int(se_shape[1])
+    s = box_sum(mask.astype(np.float32), (sh, sw))
+    return (s >= (sh * sw) - 0.5).astype(np.uint8)
+
+
+def downsample_average(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Integer-factor block-mean downsample with NaN-aware averaging.
+
+    At the engine's canonical aligned grids this is exactly rasterio's
+    ``Resampling.average`` with nodata=NaN (the reference's default
+    downsampling, ``/root/reference/homonim/kernel_model.py:100``): nodata
+    pixels are excluded from the mean; all-nodata blocks stay NaN.
+    """
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    h, w = arr.shape
+    assert h % fh == 0 and w % fw == 0, "tile not divisible by resample factor"
+    blocks = arr.reshape(h // fh, fh, w // fw, fw).astype(np.float64)
+    valid = ~np.isnan(blocks)
+    cnt = valid.sum(axis=(1, 3))
+    tot = np.nansum(blocks, axis=(1, 3))
+    out = np.full((h // fh, w // fw), np.nan, dtype=np.float64)
+    np.divide(tot, cnt, out=out, where=cnt > 0)
+    return out.astype(np.float32)
+
+
+def block_mean(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Plain block mean (nodata-naive) — used for mask coverage fractions,
+    mirroring the reference's mask reproject with ``nodata=None`` +
+    ``Resampling.average`` (``/root/reference/homonim/kernel_model.py:396-399``)."""
+    fh, fw = int(factor[0]), int(factor[1])
+    h, w = arr.shape
+    return arr.reshape(h // fh, fh, w // fw, fw).astype(np.float64).mean(axis=(1, 3)).astype(np.float32)
+
+
+def upsample_nearest(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Integer-factor nearest upsample (Kronecker).
+
+    DOCUMENTED DEVIATION: the reference upsamples parameters with
+    ``Resampling.cubic_spline`` by default
+    (``/root/reference/homonim/kernel_model.py:101``).  On the engine's
+    aligned grids with spatially-smooth parameters the difference is well
+    inside the reference's own test tolerances (abs 2 on corrected values,
+    ``tests/test_fuse_api.py:114``); nearest is deterministic, exact at
+    identity, and has no halo requirement.  A bilinear variant is provided
+    below for smoother parameter fields.
+    """
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    return np.kron(arr, np.ones((fh, fw), dtype=np.float32)).astype(np.float32)
+
+
+def upsample_bilinear(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Integer-factor bilinear upsample on pixel-center alignment (edge
+    clamped). NaN propagates through interpolation like rasterio."""
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    h, w = arr.shape
+    # output pixel centers in input pixel coordinates
+    ys = (np.arange(h * fh) + 0.5) / fh - 0.5
+    xs = (np.arange(w * fw) + 0.5) / fw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = arr[np.ix_(y0, x0)].astype(np.float64)
+    b = arr[np.ix_(y0, x1)].astype(np.float64)
+    c = arr[np.ix_(y1, x0)].astype(np.float64)
+    d = arr[np.ix_(y1, x1)].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx)
+    return out.astype(np.float32)
+
+
+def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray, max_iter: int = 512) -> np.ndarray:
+    """Fill pixels where ``valid_mask`` is False from surrounding valid data.
+
+    The reference uses rasterio's ``fillnodata`` (inverse-distance-weighted,
+    ``/root/reference/homonim/kernel_model.py:366``).  DOCUMENTED DEVIATION:
+    this is an iterative nearest-front mean fill (repeated 3×3 valid-neighbor
+    averaging) — it agrees with IDW on the reference's own inpainting test
+    criterion (inpainted offsets pulled toward surrounding values,
+    ``tests/test_kernel_model.py:166-203``) and is deterministic.
+    """
+    out = arr.astype(np.float32, copy=True)
+    filled = valid_mask.copy()
+    out[~filled] = 0.0
+    for _ in range(max_iter):
+        if filled.all():
+            break
+        fm = filled.astype(np.float32)
+        nb_cnt = box_sum(fm, (3, 3))
+        nb_sum = box_sum(out * fm, (3, 3))
+        grow = (~filled) & (nb_cnt > 0)
+        if not grow.any():
+            break
+        out[grow] = (nb_sum[grow] / nb_cnt[grow]).astype(np.float32)
+        filled |= grow
+    return out

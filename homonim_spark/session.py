@@ -1,0 +1,45 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for Arrow-batched pandas UDF pipelines over binary tile payloads;
+designed for a multi-executor cluster (AQE on, skew-join on) and tested on
+``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "homonim-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if shuffle_partitions is None:
+        # local mode: match cores; on a cluster this is overridden per job
+        cores = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = int(cores) if cores.isdigit() else 200
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing —
+        # the north_rule's explicit skew handling rides on this plus salting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Arrow is the only Python<->JVM path the engine uses
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # binary tile payloads make rows heavy; keep file partitions modest
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

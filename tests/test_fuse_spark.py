@@ -1,0 +1,171 @@
+"""End-to-end Spark fuse pipeline tests.
+
+Strategy (SURVEY.md §5.4-5.6): run the distributed tiled pipeline and check
+it against (a) closed-form expectations from the synthetic gradient fixtures
+and (b) a single-block whole-image numpy oracle using the same kernel-model
+functions — the tiled+halo result must match the untiled result (the engine
+analogue of the reference's block-size invariance, ``tests/test_compare.py:
+108-127``), plus span-sequence equality and parallelism invariance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from homonim_spark import datagen
+from homonim_spark.enums import Model
+from homonim_spark.kernel.models import KernelModelParams, fit_and_apply_ref_space
+from homonim_spark.operators import fuse as fuse_ops
+from homonim_spark.operators.compare import compare, compare_with_mean
+from homonim_spark.operators.stats import data_window, param_stats
+from homonim_spark.tiles import decode_tile
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    spec = datagen.RasterFixtureSpec(
+        pair_id="t0", cells=(3, 4), tile=16, factor=2, bands=1,
+        true_gain=2.0, true_offset=10.0,
+    )
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    return spec, docs_pdf, tiles_pdf, docs.cache(), tiles.cache()
+
+
+def assemble_image(fused_pdf: pd.DataFrame, col: str, spec, origin_cells, scale=1):
+    """Stitch per-cell tiles back into a full image array for comparison."""
+    ch, cw = spec.cells
+    t = spec.tile * scale
+    img = np.full((ch * t, cw * t), np.nan, dtype=np.float32)
+    from homonim_spark import grid
+    for r in fused_pdf.itertuples(index=False):
+        if getattr(r, col) is None:
+            continue
+        cr = grid.cell_row(int(r.cell_id)) - origin_cells[0]
+        cc = grid.cell_col(int(r.cell_id)) - origin_cells[1]
+        img[cr * t : (cr + 1) * t, cc * t : (cc + 1) * t] = decode_tile(getattr(r, col), t, t)
+    return img
+
+
+@pytest.mark.parametrize("model,kernel", [
+    (Model.gain, (1, 1)),
+    (Model.gain, (5, 5)),
+    (Model.gain_offset, (5, 5)),
+])
+def test_fuse_matches_whole_image_oracle(spark, fixture_tables, model, kernel):
+    """Tiled + halo distributed result == single-block numpy oracle.
+
+    (gain-blk-offset is excluded here by design: its block-norm statistic is
+    block-scoped in the reference too, so tiled != whole-image for it.)
+    """
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    fused = fuse_ops.fuse(docs, tiles, model=model, kernel_shape=kernel,
+                          find_r2=True, r2_inpaint_thresh=None).toPandas()
+    assert len(fused) == spec.cells[0] * spec.cells[1]
+
+    got_gain = assemble_image(fused, "gain", spec, spec.origin)
+    got_corr = assemble_image(fused, "corr", spec, spec.origin, scale=spec.factor)
+
+    ref_img, src_img = datagen.make_pair_arrays(spec, band=0)
+    params = KernelModelParams(model=model, kernel_shape=kernel, find_r2=True,
+                               r2_inpaint_thresh=None)
+    want_param, want_corr = fit_and_apply_ref_space(src_img, ref_img, params,
+                                                    (spec.factor, spec.factor))
+
+    np.testing.assert_allclose(got_gain, want_param[0], rtol=1e-4, atol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(got_corr, want_corr, rtol=1e-4, atol=1e-3, equal_nan=True)
+
+
+def test_fuse_gain_blk_offset_corrects_to_reference(spark, fixture_tables):
+    """gain-blk-offset (the baseline model, 5×5): corrected src downsampled
+    to the proc grid ≈ ref (reference test_fuse_api tolerance abs 2)."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    fused = fuse_ops.fuse(docs, tiles, model=Model.gain_blk_offset,
+                          kernel_shape=(5, 5)).toPandas()
+    got_corr = assemble_image(fused, "corr", spec, spec.origin, scale=spec.factor)
+    ref_img, src_img = datagen.make_pair_arrays(spec, band=0)
+
+    from homonim_spark.kernel.ops import downsample_average
+    corr_proc = downsample_average(got_corr, (spec.factor, spec.factor))
+    mask = ~np.isnan(corr_proc) & ~np.isnan(ref_img)
+    assert mask.sum() > 0.5 * ref_img.size
+    np.testing.assert_allclose(corr_proc[mask], ref_img[mask], atol=2.0)
+
+
+def test_span_sequence_roundtrip(spark, fixture_tables):
+    """input_hint invariant: (kind, text, media_ref, order) per doc_id
+    round-trips exactly through explode + regroup."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    spans = fuse_ops.explode_spans(docs)
+    rebuilt = fuse_ops.reassemble_documents(spans).toPandas()
+    orig = docs_pdf.set_index("doc_id")["spans"]
+    assert len(rebuilt) == len(orig)
+    for r in rebuilt.itertuples(index=False):
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in orig[r.doc_id]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r.spans]
+        assert got == want, f"span sequence mismatch for {r.doc_id}"
+
+
+def test_parallelism_invariance(spark, fixture_tables):
+    """Identical results at different partition counts — the engine analogue
+    of the reference's thread-count invariance (tests/test_compare.py:77-84)
+    and the two-cluster-size scaling rule's correctness leg."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+
+    def run(parts):
+        f = fuse_ops.fuse(docs.repartition(parts), tiles.repartition(parts),
+                          model=Model.gain, kernel_shape=(3, 3)).toPandas()
+        f = f.sort_values(["band", "cell_id"]).reset_index(drop=True)
+        return f
+
+    a, b = run(2), run(8)
+    assert list(a["cell_id"]) == list(b["cell_id"])
+    for col in ("gain", "offset", "corr"):
+        for x, y in zip(a[col], b[col]):
+            assert x == y  # bit-exact across parallelism levels
+
+
+def test_compare_identical_images(spark):
+    """compare(identical src/ref): r²=1, RMSE=0, rRMSE=0 per band + Mean row
+    (reference tests/test_compare.py:35-52,159-163)."""
+    spec = datagen.RasterFixtureSpec(pair_id="cmp0", cells=(2, 2), tile=16,
+                                     factor=1, bands=2, true_gain=1.0,
+                                     nan_border_src=1)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    out = compare_with_mean(tiles).toPandas().sort_values("band", na_position="last")
+    assert len(out) == 3  # 2 bands + Mean
+    np.testing.assert_allclose(out["r2"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["rmse"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(out["rrmse"], 0.0, atol=1e-9)
+    band_n = out[out["band"].notna()]["n"]
+    assert (band_n == band_n.iloc[0]).all()
+
+
+def test_compare_scaled_pair_known_r2(spark, fixture_tables):
+    """Perfect linear relation ⇒ PCC² = 1 even with gain 2 / offset 10."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    out = compare(tiles).toPandas()
+    assert len(out) == 1
+    np.testing.assert_allclose(out["r2"], 1.0, atol=1e-6)
+    assert out["rmse"][0] > 0  # src != ref numerically
+
+
+def test_param_stats_and_data_window(spark, fixture_tables):
+    """param stats on a clean pair: gain ≈ true_gain, offset ≈ true_offset,
+    std ≈ 0 (reference tests/test_stats.py:36-50 semantics)."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    fused = fuse_ops.fuse(docs, tiles, model=Model.gain_offset, kernel_shape=(5, 5),
+                          r2_inpaint_thresh=None, find_r2=True).cache()
+    st = param_stats(fused, model=Model.gain_offset).toPandas().set_index("param")
+    assert st.loc["gain", "mean"] == pytest.approx(spec.true_gain, abs=1e-2)
+    assert st.loc["offset", "mean"] == pytest.approx(spec.true_offset, abs=0.2)
+    assert st.loc["gain", "std"] == pytest.approx(0.0, abs=1e-2)
+    assert st.loc["r2", "mean"] == pytest.approx(1.0, abs=1e-3)
+
+    win = data_window(fused).toPandas().iloc[0]
+    # src has a 2-px border at src res = 1 proc px; ref 1-px border; the
+    # combined-mask data window starts at proc pixel 1
+    assert (win["row0"], win["col0"]) == (1, 1)
+    ch, cw = spec.cells
+    assert (win["row1"], win["col1"]) == (ch * spec.tile - 1, cw * spec.tile - 1)

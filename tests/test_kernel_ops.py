@@ -1,0 +1,68 @@
+"""Unit tests for the numpy primitives vs naive oracles."""
+
+import numpy as np
+import pytest
+
+from homonim_spark.kernel import ops
+from tests.conftest import naive_box_sum
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("k", [(1, 1), (3, 3), (5, 5), (5, 7), (9, 9), (1, 5)])
+def test_box_sum_matches_naive(k):
+    arr = RNG.uniform(-5, 5, size=(17, 23)).astype(np.float32)
+    got = ops.box_sum(arr, k)
+    want = naive_box_sum(arr.astype(np.float64), k)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sqr_box_sum():
+    arr = RNG.uniform(0, 3, size=(12, 9)).astype(np.float32)
+    got = ops.sqr_box_sum(arr, (3, 3))
+    want = naive_box_sum((arr.astype(np.float64)) ** 2, (3, 3))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("se", [(3, 3), (7, 7), (5, 9)])
+def test_erode_rect_matches_naive(se):
+    mask = (RNG.uniform(size=(20, 20)) > 0.3).astype(np.uint8)
+    got = ops.erode_rect(mask, se)
+    # naive: pixel survives iff the full SE neighborhood (zero-padded) is 1
+    want = (naive_box_sum(mask.astype(np.float64), se) == se[0] * se[1]).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_downsample_average_nan_aware():
+    arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+    arr[0, 0] = np.nan
+    out = ops.downsample_average(arr, (2, 2))
+    # block (0,0) mean over the 3 valid pixels
+    assert out[0, 0] == pytest.approx((1 + 4 + 5) / 3)
+    assert out[1, 1] == pytest.approx((10 + 11 + 14 + 15) / 4)
+    # all-NaN block stays NaN
+    arr2 = np.full((4, 4), np.nan, dtype=np.float32)
+    assert np.isnan(ops.downsample_average(arr2, (2, 2))).all()
+
+
+def test_upsample_nearest_inverts_downsample():
+    arr = RNG.uniform(0, 10, size=(6, 6)).astype(np.float32)
+    up = ops.upsample_nearest(arr, (2, 2))
+    down = ops.downsample_average(up, (2, 2))
+    np.testing.assert_allclose(down, arr, rtol=1e-6)
+
+
+def test_upsample_bilinear_constant_field():
+    arr = np.full((4, 4), 7.5, dtype=np.float32)
+    up = ops.upsample_bilinear(arr, (2, 2))
+    np.testing.assert_allclose(up, 7.5)
+
+
+def test_fill_nodata_fills_from_neighbors():
+    arr = np.ones((9, 9), dtype=np.float32) * 3.0
+    valid = np.ones((9, 9), dtype=bool)
+    valid[4, 4] = False
+    arr[4, 4] = 999.0
+    out = ops.fill_nodata(arr, valid)
+    assert out[4, 4] == pytest.approx(3.0)
+    np.testing.assert_allclose(out[valid], 3.0)
