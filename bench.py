@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+- the flagship fuse pipeline (gain-blk-offset, 5×5 kernel — BASELINE.json's
+  metric) over the deterministic synthetic interleaved-documents table,
+  reporting tiles-corrected/sec, and
+- the relational / text / similarity operator suite over the driver tables.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: cells per band for the fuse benchmark (pairs × 16 cells each)
+FUSE_SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "48"))
+FUSE_TILE = int(os.environ.get("SPARK_GRAFT_FUSE_TILE", "64"))
+
+
+def build_raster_bench_input(spark):
+    from homonim_spark import datagen
+    specs = datagen.default_specs(scale=FUSE_SCALE_PAIRS, bands=1, tile=FUSE_TILE)
+    docs_pdf, tiles_pdf = datagen.build_fixture_tables(specs)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    return docs.cache(), tiles.cache(), len(tiles_pdf[tiles_pdf.role == "src"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from homonim_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="homonim-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: fuse gain-blk-offset 5x5 (BASELINE.json metric) ----------
+    from homonim_spark.operators.fuse import fuse
+    docs, tiles, n_src_tiles = build_raster_bench_input(spark)
+    docs.count(); tiles.count()  # materialize cache: time compute, not gen
+    t0 = time.perf_counter()
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+    n_out = fused.count()
+    fuse_sec = time.perf_counter() - t0
+    timings["fuse_gain_blk_offset_5x5"] = round(fuse_sec, 3)
+    tiles_per_sec = n_out / fuse_sec if fuse_sec > 0 else 0.0
+
+    # --- operator suite over the driver tables ------------------------------
+    # scale-safe set: linear or LSH-pruned operators only.  The quadratic
+    # exact-verification variants (ngram_jaccard, exact embedding_neardup,
+    # minhash verify) are correctness-gate queries at sf0.01; their scale
+    # paths are benchmarked via the pruned operators below.
+    suite = [
+        "compare_stats", "param_stats", "tpch_q1", "join_pushdown",
+        "band_match_rank", "topk_orders", "text_profile", "dedup_exact",
+        "similarity_topk", "rollup_mean", "data_window",
+    ]
+    qs = entry.queries()
+    for name in suite:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # SRP-bucketed embedding near-dup (the ANN scale path)
+    from homonim_spark.operators.similarity import embedding_near_duplicates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    t0 = time.perf_counter()
+    embedding_near_duplicates(emb, threshold=0.45, exact=False, dim=dim,
+                              n_planes=10).write.format("noop").mode("overwrite").save()
+    timings["embedding_neardup_lsh"] = round(time.perf_counter() - t0, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    out = {
+        "metric": "tiles corrected/sec (gain-blk-offset, 5x5 kernel) + operator suite seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "tiles_corrected_per_sec": round(tiles_per_sec, 1),
+        "fuse_output_tiles": n_out,
+        "fuse_src_tiles": n_src_tiles,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

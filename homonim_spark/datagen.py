@@ -225,10 +225,12 @@ def build_footprints(n: int = 8, res: int = FIXTURE_RES, seed: int = 42) -> pd.D
     s = grid.cell_size(res)
     rows = []
     for i in range(n):
-        r0 = float(rng.integers(0, 24)) * s
-        c0 = float(rng.integers(0, 24)) * s
-        hh = float(rng.integers(3, 9)) * s
-        ww = float(rng.integers(3, 9)) * s
+        # ranges chosen to overlap the default_specs fixture cells
+        # (rows 0..8, cols 0..16·8)
+        r0 = float(rng.integers(0, 4)) * s
+        c0 = float(rng.integers(0, 12)) * s
+        hh = float(rng.integers(2, 5)) * s
+        ww = float(rng.integers(2, 6)) * s
         base = [(c0, r0), (c0 + ww, r0), (c0 + ww, r0 + hh), (c0, r0 + hh)]
         ring = []
         for (x, y) in base:

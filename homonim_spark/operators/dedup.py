@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale design notes (these run over the full corpus at 100 TB):
+- exact: one groupBy on a 128-bit fingerprint — partial aggregation, no
+  payload shuffle (only doc_id + hash move).
+- MinHash+LSH: shingle → permuted min-hashes → band buckets → self-join on
+  (band, bucket) — candidate volume is O(near-dup pairs), not O(n²); the
+  expensive exact-Jaccard verify runs only on candidates.
+- SimHash: 64-bit signature from token hash sign sums; near-dup via banded
+  equality join on signature chunks (Hamming ≤ d ⇒ some chunk equal).
+- n-gram Jaccard: exact verification primitive, also usable standalone at
+  small scale / on candidate pairs at large scale.
+
+All hashing uses xxhash64/md5 built-ins (JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from homonim_spark.operators.textops import normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by md5 of normalized text: one row per
+    duplicated fingerprint with the canonical (min) doc_id and group size."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        documents.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one document per exact-duplicate group (min doc_id wins)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        documents.withColumn("fingerprint", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>)."""
+    toks = tokens(normalize_text(col))
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) with word-``n``-gram Jaccard ≥ ``threshold``.
+
+    With ``candidates`` (doc_a, doc_b) given, verifies only those —
+    the scale path after an LSH prefilter.  Without, verifies all pairs via
+    an inverted-index join on shared shingles (never a blind crossJoin):
+    only pairs sharing ≥1 shingle are scored, which is the exact support of
+    Jaccard > 0.
+
+    ``max_df``: drop shingles occurring in more than this many documents
+    from the *inverted index* (not from the Jaccard denominator).  This is
+    the standard frequent-shingle cut that bounds the index join's worst
+    case (a shingle shared by d docs contributes d² candidate rows); it can
+    only lose pairs whose every shared shingle is frequent.  Leave None for
+    exact semantics (the oracle-checked mode).
+    """
+    sh = documents.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+    if candidates is None:
+        inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+        if max_df is not None:
+            df_counts = inv.groupBy("sh").agg(F.count("*").alias("_df"))
+            inv = inv.join(df_counts.filter(F.col("_df") <= max_df).select("sh"), "sh")
+        a = inv.alias("a")
+        b = inv.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        exp = sh.select("doc_id", F.explode("shingles").alias("sh"))
+        inter = (
+            candidates.join(exp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(
+                exp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+                "doc_b",
+            )
+            .filter(F.col("sh") == F.col("sh_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+
+    sizes = sh.select("doc_id", "n_sh")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    documents: DataFrame, text_col: str = "text", n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: ``num_perm`` permutations simulated as
+    ``min(xxhash64(shingle, seed_i))`` — all JVM-side array ops."""
+    sh = word_shingles(F.col(text_col), n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perm)
+    ])
+    return documents.select(F.col("doc_id"), sig.alias("minhash"))
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any (band, bucket) are candidates.
+
+    Recall at Jaccard j: 1 − (1 − j^r)^b — with the 16×4 default, j=0.8 →
+    0.9992.  The bucket join is a groupBy on (band, hash-of-rows): shuffle
+    carries only (doc_id, 2 longs).
+    """
+    exploded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                           for r in range(rows_per_band)]
+                ))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band buckets →
+    candidate pairs → exact-Jaccard verify ≥ threshold.  The *answer* is
+    exact-Jaccard-defined (LSH only prunes), so it is SQL-oracle-checkable."""
+    sigs = minhash_signatures(documents, text_col, n, num_perm)
+    cands = lsh_candidates(sigs, bands, rows_per_band)
+    return jaccard_pairs(documents, text_col, n, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens: per bit, the sign of the sum of
+    token-hash bits. Built-ins only (aggregate over the token array)."""
+    toks = F.array_distinct(tokens(normalize_text(col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit signature into ``chunks`` 16-bit
+    chunks; distance ≤ 3 ⇒ at least one chunk identical → equality join per
+    chunk, then exact popcount verify.
+    """
+    sh = documents.select(F.col("doc_id"), simhash(F.col(text_col)).alias("sig"))
+    width = 64 // chunks
+    chunked = sh.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(chunks)
+        ])).alias("chunk_i", "chunk_v"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_i") == F.col("b.chunk_i"))
+               & (F.col("a.chunk_v") == F.col("b.chunk_v"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Queries are broadcast (small side); the corpus side streams. Dot products
+  are JVM-side ``F.zip_with`` + ``F.aggregate`` (no Python).
+- ``lsh_topk``: the scale path — sign-random-projection (SRP) bucketing with
+  multi-probe; candidates only within matching buckets, then exact rerank.
+- ``embedding_near_duplicates``: all pairs with cosine ≥ threshold via the
+  same bucketing (near-dup semantics for embedding-based dedup).
+
+Deterministic: projection hyperplanes are seeded; ties in top-k rank break
+by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
+    rank ties broken by neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane —
+    ``bit_i = (v · p_i) > 0``. Planes are a seeded constant folded into the
+    plan (JVM literal arrays); no Python at execution time."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join + exact rerank within candidates.
+
+    Multi-probe: each query also probes all buckets at Hamming distance
+    ≤ ``probe_bits`` (flip one bit), trading candidate volume for recall.
+    At 100 TB the bucket join replaces the O(n·q) crossJoin with
+    O(n·q / 2^{n_planes−probe cost}) candidate volume.
+    """
+    planes = make_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("q_bucket"),
+    )
+    probes = [F.col("q_bucket")]
+    if probe_bits >= 1:
+        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 8,
+    exact: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold.
+
+    ``exact=True``: full self-join (small scale / oracle checking).
+    ``exact=False``: SRP-bucketed self-join with Hamming-1 multi-probe —
+    one side also probes every bucket at one bit flipped, so a near-dup pair
+    is missed only when its signatures differ in ≥2 bits (probability
+    ~(n·θ/π)² for cosine angle θ); candidates verified exactly.
+    """
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if exact:
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for bucketed mode")
+        planes = make_planes(dim, n_planes, seed)
+        cb = c.withColumn("bucket", srp_bucket(F.col("vec"), planes))
+        probes = cb.withColumn(
+            "bucket",
+            F.explode(F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )),
+        )
+        a, b = probes.alias("pa"), cb.alias("pb")
+        pairs = (
+            a.join(b, (F.col("pa.bucket") == F.col("pb.bucket")) & (F.col("pa.vid") < F.col("pb.vid")))
+            .select(F.col("pa.vid").alias("_va"), F.col("pa.vec").alias("_vva"),
+                    F.col("pb.vid").alias("_vb"), F.col("pb.vec").alias("_vvb"))
+            .dropDuplicates(["_va", "_vb"])
+            .select(F.struct(F.col("_va").alias("vid"), F.col("_vva").alias("vec")).alias("a"),
+                    F.struct(F.col("_vb").alias("vid"), F.col("_vvb").alias("vec")).alias("b"))
+        )
+    return (
+        pairs.select(
+            F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+            cosine_similarity(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

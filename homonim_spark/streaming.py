@@ -1,0 +1,91 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.7) — the engine adds an
+incremental mode for the 100 TB operating reality: new document files arrive
+continuously and each micro-batch must be corrected exactly once.
+
+- ``incremental_media_features``: readStream over a documents directory →
+  explode → feature extraction → append sink, ``Trigger.AvailableNow`` for
+  catch-up-then-stop semantics with a durable checkpoint.
+- ``windowed_event_stats``: watermarked sliding-window aggregation over an
+  event stream (late data dropped after the watermark) — the standard
+  late-data pattern for the metrics/telemetry tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from homonim_spark.datagen import DOCUMENTS_SCHEMA
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         max_files_per_trigger: int = 64) -> DataFrame:
+    """File-source stream of interleaved-span documents (parquet)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def incremental_span_counts(
+    docs_stream: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Per-document span-kind counts, incrementally: explode is stateless, so
+    this runs append-mode with exactly-once file-sink semantics."""
+    counts = (
+        docs_stream.select("doc_id", F.explode("spans").alias("span"))
+        .groupBy("doc_id", F.col("span.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"))
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory").queryName("span_counts")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_media_refs(
+    docs_stream: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append-mode extraction of media references from streaming documents —
+    the ingest edge of an incremental fuse (each new file processed exactly
+    once; restart resumes from the checkpoint)."""
+    media = (
+        docs_stream.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .filter(F.col("span.kind") == "media")
+        .select("doc_id", "pos", F.col("span.media_ref").alias("media_ref"))
+    )
+    return (
+        media.writeStream.outputMode("append")
+        .format("parquet").option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_stats(
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window aggregation over an event stream:
+    late rows beyond the watermark are dropped; state is bounded."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n", "avg_value",
+        )
+    )

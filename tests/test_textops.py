@@ -1,0 +1,106 @@
+"""Tests for text-analysis / dedup / similarity operators with in-line
+pandas oracles on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from homonim_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog"),
+        ("d1", "the quick brown fox jumps over the lazy dog"),          # exact dup of d0
+        ("d2", "The  quick Brown fox jumps over the lazy dog "),        # normalized dup of d0
+        ("d3", "the quick brown fox jumps over the sleepy dog"),        # near-dup
+        ("d4", "completely different content about spark engines"),
+        ("d5", ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_token_count_and_profile(spark, docs):
+    out = textops.text_profile(docs).toPandas().set_index("doc_id")
+    assert out.loc["d0", "n_tokens"] == 9
+    assert out.loc["d5", "n_tokens"] == 0
+    assert out.loc["d0", "lang_pred"] == "en"
+    assert out.loc["d4", "stopword_ratio"] == pytest.approx(0.0)
+    assert 0 <= out.loc["d0", "quality"] <= 1
+    # normalized dup shares the fingerprint
+    assert out.loc["d0", "fingerprint"] == out.loc["d2", "fingerprint"]
+    assert out.loc["d0", "fingerprint"] != out.loc["d3", "fingerprint"]
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs).toPandas()
+    assert len(groups) == 1
+    assert groups.iloc[0]["n_docs"] == 3
+    assert groups.iloc[0]["canonical_doc_id"] == "d0"
+    kept = dedup.dedup_exact(docs).toPandas()
+    assert len(kept) == 4  # d0 survives, d1/d2 dropped
+
+
+def test_jaccard_pairs_inverted_index(spark, docs):
+    out = dedup.jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples(index=False)}
+    # exact dups: jaccard 1.0
+    assert pairs[("d0", "d1")] == pytest.approx(1.0)
+    assert pairs[("d0", "d2")] == pytest.approx(1.0)
+    # near-dup d3 vs d0: 7 shingles each, 5 shared ('sleepy' breaks 2)
+    assert ("d0", "d3") in pairs
+    got = pairs[("d0", "d3")]
+    assert got == pytest.approx(5 / 9, abs=1e-6)
+    assert ("d0", "d4") not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = dedup.minhash_near_duplicates(docs, threshold=0.3).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in out.itertuples(index=False)}
+    assert ("d0", "d1") in pairs and ("d0", "d2") in pairs and ("d0", "d3") in pairs
+    assert all("d4" not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark, docs):
+    out = dedup.simhash_near_duplicates(docs, max_hamming=3).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in out.itertuples(index=False)}
+    # exact dups have identical simhash (hamming 0)
+    assert ("d0", "d1") in pairs and ("d0", "d2") in pairs
+    assert all("d4" not in p[0] + p[1] for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"])).cache()
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    pdf = vectors.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist())
+    sims = (mat @ mat.T) / (np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :])
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3).toPandas()
+    want_order = np.argsort(-sims[0] + np.where(np.arange(6) == 0, 1e9, 0))[:3]
+    assert list(out.sort_values("rank")["neighbor_id"]) == [int(i) for i in want_order]
+    for r in out.itertuples(index=False):
+        assert r.cosine == pytest.approx(sims[0, r.neighbor_id], abs=1e-4)
+
+
+def test_lsh_topk_recalls_near_duplicate(spark, vectors):
+    out = similarity.lsh_topk(vectors, vectors.filter(F.col("vec_id") == 0),
+                              dim=16, k=1, n_planes=6).toPandas()
+    # the planted near-duplicate (vec 1, cosine ~1) must be found
+    assert list(out["neighbor_id"]) == [1]
+
+
+def test_embedding_near_duplicates_exact_vs_bucketed(spark, vectors):
+    exact = similarity.embedding_near_duplicates(vectors, threshold=0.95, exact=True).toPandas()
+    assert set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist())) == {(0, 1)}
+    bucketed = similarity.embedding_near_duplicates(
+        vectors, threshold=0.95, exact=False, dim=16, n_planes=4).toPandas()
+    assert set(map(tuple, bucketed[["vec_a", "vec_b"]].values.tolist())) == {(0, 1)}
