@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: cells per band for the fuse benchmark (pairs × 16 cells each)
-FUSE_SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "48"))
+FUSE_SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "192"))
 FUSE_TILE = int(os.environ.get("SPARK_GRAFT_FUSE_TILE", "64"))
 
 
@@ -51,6 +51,11 @@ def main() -> None:
     from homonim_spark.operators.fuse import fuse
     docs, tiles, n_src_tiles = build_raster_bench_input(spark)
     docs.count(); tiles.count()  # materialize cache: time compute, not gen
+    # warm-up: spin up ALL python workers (module imports, Arrow init) and
+    # JIT the codegen paths before timing — a fuse over a small doc slice
+    # spread across every core
+    fuse(docs.limit(64).repartition(int(cpus)), tiles,
+         model="gain-blk-offset", kernel_shape=(5, 5)).count()
     t0 = time.perf_counter()
     fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
     n_out = fused.count()

@@ -10,11 +10,11 @@ Spark-native re-expression:
     span structure                 tile payloads
                                         │ (src tiles block-mean → proc grid)
                                         ▼
-                         halo explode (JVM-side neighbor keys,
-                         Arrow UDF slices only the needed strips)
-                                        │ ONE shuffle on (image_id, band, cell_id)
+                     chunk+halo explode (tiles land in their chunk's
+                     canvas; border strips go to neighbor chunks)
+                                        │ ONE shuffle on (image_id, band, chunk)
                                         ▼
-                groupBy cell ► applyInPandas(assemble + fit + apply)
+             groupBy chunk ► applyInPandas(assemble canvas + fit + apply)
                                         │
                       corrected tiles + parameter tiles
                                         │ join back on media_ref
@@ -23,16 +23,25 @@ Spark-native re-expression:
             equality preserved exactly)
 
 Design notes for 100 TB scale:
-- The src↔ref pairing (reference's BlockPair generation,
+- **Chunked processing blocks**: a group is a *chunk* of ``chunk × chunk``
+  cells (default 4×4), the engine analogue of the reference's
+  ``max_block_mem`` block sizing (``raster_pair.py:227-269``) — it amortizes
+  the Arrow/pandas crossing over 16 tiles, fits one model per canvas instead
+  of per tile (bigger vectorized numpy ops), and needs halo strips only at
+  chunk borders, cutting shuffle duplication from ~4·overlap/tile per tile
+  to ~4·overlap/(chunk·tile) per tile.
+- The src↔ref pairing (reference BlockPair generation,
   ``raster_pair.py:342-428``) is NOT a separate join: source and reference
   tiles are unioned with a ``role`` column and co-grouped in the same
   shuffle that delivers the halo — one exchange instead of two.
-- Halo volume is ``tile²·(1 + ~4·overlap/tile)`` per tile, not 9× — only
-  the needed edge strips are shuffled.
-- Group state is bounded: one group = one cell = O(tile²) bytes regardless
-  of total data size; keys (image_id, band, cell_id) are near-uniform, so
-  no skew salting is needed on this exchange (the skew-prone join is the
-  many-src-tiles-per-ref-cell case handled in ``operators.spatial``).
+- Group state is bounded: one group = one chunk canvas = O((chunk·tile)²)
+  bytes regardless of total data size; keys (image_id, band, chunk) are
+  near-uniform, so no salting is needed on this exchange (the skew-prone
+  join is the many-src-tiles-per-ref-cell case handled in
+  ``operators.spatial.salted_join``).
+- gain-blk-offset's block-norm statistic is chunk-scoped — block-scoped in
+  the reference too (``kernel_model.py:216-229``), where results likewise
+  depend on the block grid by design (SURVEY.md §7 risk register).
 """
 
 from __future__ import annotations
@@ -64,10 +73,11 @@ from homonim_spark.tiles import decode_tile, encode_tile
 HALO_PIECE_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("band", T.IntegerType(), False),
-    T.StructField("cell_id", T.LongType(), False),      # destination cell
-    T.StructField("role", T.StringType(), False),       # 'src' | 'ref' | 'src_orig'
-    T.StructField("py", T.IntegerType(), False),        # placement row in block
-    T.StructField("px", T.IntegerType(), False),        # placement col in block
+    T.StructField("chunk_id", T.LongType(), False),     # destination chunk cell-id (chunk grid)
+    T.StructField("role", T.StringType(), False),       # 'src' | 'ref' | 'scov' | 'src_orig'
+    T.StructField("cell_id", T.LongType(), False),      # source tile's cell
+    T.StructField("py", T.IntegerType(), False),        # placement row in canvas
+    T.StructField("px", T.IntegerType(), False),        # placement col in canvas
     T.StructField("ph", T.IntegerType(), False),
     T.StructField("pw", T.IntegerType(), False),
     T.StructField("media_ref", T.StringType(), True),
@@ -98,10 +108,11 @@ class FuseConfig:
     factor: int                # src pixels per proc pixel per dim
     params: KernelModelParams = KernelModelParams()
     proc_crs: ProcCrs = ProcCrs.ref
+    chunk: int = 4             # cells per processing chunk per dim
 
 
 def infer_fuse_config(tiles: DataFrame, params: KernelModelParams,
-                      proc_crs: ProcCrs = ProcCrs.ref) -> FuseConfig:
+                      proc_crs: ProcCrs = ProcCrs.ref, chunk: int = 4) -> FuseConfig:
     """Resolve tile size / resample factor from tile metadata (metadata-scale
     aggregate — two longs per role, never the payloads)."""
     sizes = {r["role"]: r["h"] for r in
@@ -112,7 +123,8 @@ def infer_fuse_config(tiles: DataFrame, params: KernelModelParams,
         raise ImageContentError("no reference tiles found")
     if src_h % ref_h != 0:
         raise ImageContentError(f"src tile {src_h} not an integer multiple of ref tile {ref_h}")
-    return FuseConfig(tile=ref_h, factor=src_h // ref_h, params=params, proc_crs=ProcCrs(proc_crs))
+    return FuseConfig(tile=ref_h, factor=src_h // ref_h, params=params,
+                      proc_crs=ProcCrs(proc_crs), chunk=chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -133,15 +145,14 @@ def explode_spans(documents: DataFrame) -> DataFrame:
 
 
 def referenced_tiles(documents: DataFrame, tiles: DataFrame) -> DataFrame:
-    """Tiles actually referenced by document media spans — hash join on
-    media_ref (both sides large at scale; AQE handles any hot payloads)."""
+    """Tiles actually referenced by document media spans — left-semi hash
+    join on media_ref (no payload duplication; AQE handles hot keys)."""
     refs = (
         explode_spans(documents)
         .filter(F.col("kind") == "media")
         .select("media_ref")
-        .distinct()
     )
-    return tiles.join(refs, "media_ref", "inner")
+    return tiles.join(refs, "media_ref", "left_semi")
 
 
 def coverage_audit(tiles: DataFrame) -> int:
@@ -154,34 +165,39 @@ def coverage_audit(tiles: DataFrame) -> int:
 
 
 # ---------------------------------------------------------------------------
-# stage 2: halo explode (the reference's block-overlap materialisation, P3/P4)
+# stage 2: chunk + halo explode (the reference's block/overlap
+# materialisation, P3/P4, on the chunk grid)
 # ---------------------------------------------------------------------------
 
 def halo_explode(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
-    """Emit every proc-grid tile to its own cell plus the edge strips its
-    8 neighbors need for kernel-sum continuity (reference overlap semantics:
-    in-blocks overlap by ceil(k/2), ``raster_pair.py:342-428`` +
-    ``utils.py:136-153``).  The original-resolution src tile rides along as
-    a center-only ``src_orig`` piece for the apply stage.
+    """Route every proc-grid tile into its chunk's canvas, plus the edge
+    strips neighboring chunks need for kernel-sum continuity (reference
+    overlap semantics: in-blocks overlap by ceil(k/2),
+    ``raster_pair.py:342-428`` + ``utils.py:136-153``).
 
-    Strip slicing happens in an Arrow UDF; destination cell ids are computed
-    JVM-side before it so the shuffle key never touches Python.
+    The original-resolution src tile rides along as a ``src_orig`` piece
+    (center chunk only) for the apply stage.  Canvas-local placement is
+    computed from global pixel coordinates, so any chunk size (including 1)
+    gives identical assembled numerics.
     """
     tile_px = cfg.tile
     oh, ow = overlap_for_kernel(cfg.params.kernel_shape)
     factor = cfg.factor
+    K = cfg.chunk
     ship_coverage = cfg.params.mask_partial
+    span = K * tile_px  # canvas interior size (proc px)
 
     def slice_pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("image_id", "band", "cell_id", "role", "py", "px",
-                                   "ph", "pw", "media_ref", "data")}
+            out = {k: [] for k in ("image_id", "band", "chunk_id", "role", "cell_id",
+                                   "py", "px", "ph", "pw", "media_ref", "data")}
 
-            def emit(img, band, cid, role, py, px, arr, mref=None):
+            def emit(img, band, chk, role, cid, py, px, arr, mref=None):
                 out["image_id"].append(img)
                 out["band"].append(band)
-                out["cell_id"].append(cid)
+                out["chunk_id"].append(chk)
                 out["role"].append(role)
+                out["cell_id"].append(cid)
                 out["py"].append(py)
                 out["px"].append(px)
                 out["ph"].append(arr.shape[0])
@@ -190,39 +206,40 @@ def halo_explode(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
                 out["data"].append(encode_tile(arr))
 
             def emit_with_halo(img, band, cid, role, arr):
-                """Center piece + the 8 neighbor edge strips of one proc tile.
-
-                ``dr`` is the destination cell's offset from this tile:
-                dest below (dr=+1) needs my bottom ``oh`` rows placed above
-                its own center (block rows [0, oh)), etc.
-                """
-                for dr in (-1, 0, 1):
-                    if dr == 0:
-                        r0, r1, py = 0, tile_px, oh
-                    elif dr == 1:
-                        r0, r1 = max(0, tile_px - oh), tile_px
-                        py = oh - (r1 - r0)
-                    else:
-                        r0, r1, py = 0, min(oh, tile_px), oh + tile_px
-                    for dc in (-1, 0, 1):
-                        if dc == 0:
-                            c0, c1, px = 0, tile_px, ow
-                        elif dc == 1:
-                            c0, c1 = max(0, tile_px - ow), tile_px
-                            px = ow - (c1 - c0)
-                        else:
-                            c0, c1, px = 0, min(ow, tile_px), ow + tile_px
-                        piece = arr[r0:r1, c0:c1]
-                        if (dr or dc) and np.all(np.isnan(piece)):
+                """Intersect this tile with the ≤9 candidate chunk canvases
+                in global proc-pixel coordinates."""
+                res = grid.cell_res(cid)
+                r, c = grid.cell_row(cid), grid.cell_col(cid)
+                R, C = r // K, c // K
+                t0r, t0c = r * tile_px, c * tile_px
+                for dR in (-1, 0, 1):
+                    g0r = (R + dR) * span - oh
+                    g1r = (R + dR + 1) * span + oh
+                    i0r, i1r = max(t0r, g0r), min(t0r + tile_px, g1r)
+                    if i0r >= i1r:
+                        continue
+                    for dC in (-1, 0, 1):
+                        g0c = (C + dC) * span - ow
+                        g1c = (C + dC + 1) * span + ow
+                        i0c, i1c = max(t0c, g0c), min(t0c + tile_px, g1c)
+                        if i0c >= i1c:
+                            continue
+                        piece = arr[i0r - t0r : i1r - t0r, i0c - t0c : i1c - t0c]
+                        if (dR or dC) and np.all(np.isnan(piece)):
                             continue  # all-nodata strips carry no information
-                        dest = grid.neighbor(int(cid), dr, dc)
-                        emit(img, band, dest, role, py, px, piece)
+                        chk = grid.cell_id(res, R + dR, C + dC)
+                        emit(img, band, chk, role, cid, i0r - g0r, i0c - g0c, piece)
 
             for r in pdf.itertuples(index=False):
                 arr = decode_tile(r.data, r.h, r.w)
                 if r.role == "src":
-                    # original-res src tile: center-only, for the apply stage
-                    emit(r.image_id, r.band, r.cell_id, "src_orig", 0, 0, arr, r.media_ref)
+                    # original-res src tile: center chunk only, for apply
+                    res = grid.cell_res(int(r.cell_id))
+                    rr, cc = grid.cell_row(int(r.cell_id)), grid.cell_col(int(r.cell_id))
+                    chk = grid.cell_id(res, rr // K, cc // K)
+                    emit(r.image_id, r.band, chk, "src_orig", int(r.cell_id),
+                         (rr % K) * tile_px * factor, (cc % K) * tile_px * factor,
+                         arr, r.media_ref)
                     if ship_coverage:
                         # plain block-mean of the src-grid mask — the strict
                         # coverage channel for mask_partial (the reference's
@@ -231,11 +248,11 @@ def halo_explode(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
                             (~np.isnan(arr)).astype(np.float32), (factor, factor)
                         )
                         cov[cov <= 0] = np.nan  # reuse NaN strip elision
-                        emit_with_halo(r.image_id, r.band, r.cell_id, "scov", cov)
+                        emit_with_halo(r.image_id, r.band, int(r.cell_id), "scov", cov)
                     # reproject to proc grid for fitting (block-mean average,
                     # reference RefSpaceModel.fit kernel_model.py:476-482)
                     arr = ops.downsample_average(arr, (factor, factor))
-                emit_with_halo(r.image_id, r.band, r.cell_id, r.role, arr)
+                emit_with_halo(r.image_id, r.band, int(r.cell_id), r.role, arr)
             yield pd.DataFrame(out)
 
     return tiles.select(
@@ -244,14 +261,167 @@ def halo_explode(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stage 3: co-grouped assemble + fit + apply
+# stage 2b: JVM-side tile routing (the fast-CPU halo mode)
+#
+# ``halo_explode`` (above) ships minimal bytes: only the edge strips cross
+# chunk borders — the right choice when the cluster is shuffle-bound (the
+# usual case at 100 TB).  ``route_tiles`` instead routes *whole tiles* to
+# border-adjacent chunks with pure Column arithmetic — zero Python before
+# the group stage, at the cost of duplicating border tiles (~+40% shuffle at
+# chunk=4, shrinking as 2/chunk for larger chunks).  Slicing then happens
+# during canvas assembly.  Both modes produce bit-identical fused output
+# (tests/test_fuse_spark.py::test_halo_modes_agree).
+# ---------------------------------------------------------------------------
+
+def route_tiles(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
+    """Explode each tile row to its own chunk plus any border-adjacent
+    chunks that need it for halo continuity — all JVM-side (codegen):
+    no Python worker touches the payload until the group stage."""
+    K = cfg.chunk
+    oh, ow = overlap_for_kernel(cfg.params.kernel_shape)
+    row, col = grid.cell_row_col_expr(F.col("cell_id"))
+    res = grid.cell_res_expr(F.col("cell_id"))
+    # floor division toward -inf (rows/cols may be negative)
+    R = F.floor(row.cast("double") / K).cast("long")
+    C = F.floor(col.cast("double") / K).cast("long")
+    lr = row - R * K
+    lc = col - C * K
+    empty = F.array().cast("array<long>")
+    cands = []
+    for dR in (-1, 0, 1):
+        rc = (
+            F.lit(True) if dR == 0
+            else (lr == 0) if (dR == -1 and oh > 0)
+            else (lr == K - 1) if (dR == 1 and oh > 0)
+            else F.lit(False)
+        )
+        for dC in (-1, 0, 1):
+            cc = (
+                F.lit(True) if dC == 0
+                else (lc == 0) if (dC == -1 and ow > 0)
+                else (lc == K - 1) if (dC == 1 and ow > 0)
+                else F.lit(False)
+            )
+            dest = grid.cell_id_col(res, R + dR, C + dC)
+            cands.append(F.when(rc & cc, F.array(dest)).otherwise(empty))
+    return tiles.select(
+        "image_id", "band", "cell_id", "role", "h", "w", "media_ref", "data",
+        F.explode(F.concat(*cands)).alias("chunk_id"),
+    )
+
+
+def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
+    """groupBy chunk over whole-tile rows: assemble the source canvas at
+    source resolution (halo included), block-mean it to the proc grid once
+    (vectorized), assemble the reference canvas, fit + apply, emit per-cell
+    rows.  Numerically identical to the strip mode: downsampling before or
+    after assembly commutes because each proc pixel's f×f source block lies
+    inside exactly one tile."""
+    tile_px = cfg.tile
+    oh, ow = overlap_for_kernel(cfg.params.kernel_shape)
+    f = cfg.factor
+    K = cfg.chunk
+    params = cfg.params
+    span = K * tile_px
+    src_px = tile_px * f
+    find_r2 = params.find_r2 or (
+        Model(params.model) == Model.gain_offset and params.r2_inpaint_thresh is not None
+    )
+
+    def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band, chunk_id = key
+        Rc, Cc = grid.cell_row(int(chunk_id)), grid.cell_col(int(chunk_id))
+        # canvas origins in global pixels
+        pg0r, pg0c = Rc * span - oh, Cc * span - ow          # proc grid
+        sg0r, sg0c = pg0r * f, pg0c * f                      # src grid
+        ph_, pw_ = span + 2 * oh, span + 2 * ow
+        ref_canvas = np.full((ph_, pw_), np.nan, dtype=np.float32)
+        src_canvas = np.full((ph_ * f, pw_ * f), np.nan, dtype=np.float32)
+        owned = []
+
+        for r in pdf.itertuples(index=False):
+            arr = decode_tile(r.data, r.h, r.w)
+            cr, cc_ = grid.cell_row(int(r.cell_id)), grid.cell_col(int(r.cell_id))
+            if r.role == "src":
+                t0r, t0c = cr * src_px, cc_ * src_px
+                canvas, g0r, g0c, H, W = src_canvas, sg0r, sg0c, ph_ * f, pw_ * f
+                if cr // K == Rc and cc_ // K == Cc:
+                    owned.append((int(r.cell_id), r.media_ref, cr - Rc * K, cc_ - Cc * K))
+            else:
+                t0r, t0c = cr * tile_px, cc_ * tile_px
+                canvas, g0r, g0c, H, W = ref_canvas, pg0r, pg0c, ph_, pw_
+            # intersect tile with canvas, slice and place
+            i0r, i1r = max(t0r, g0r), min(t0r + arr.shape[0], g0r + H)
+            i0c, i1c = max(t0c, g0c), min(t0c + arr.shape[1], g0c + W)
+            if i0r >= i1r or i0c >= i1c:
+                continue
+            canvas[i0r - g0r : i1r - g0r, i0c - g0c : i1c - g0c] = \
+                arr[i0r - t0r : i1r - t0r, i0c - t0c : i1c - t0c]
+
+        if not owned:
+            return pd.DataFrame({f_.name: [] for f_ in FUSED_TILE_SCHEMA.fields})
+
+        src_proc = ops.downsample_average(src_canvas, (f, f))
+        if not (~np.isnan(src_proc) & ~np.isnan(ref_canvas)).any():
+            return pd.DataFrame({f_.name: [] for f_ in FUSED_TILE_SCHEMA.fields})
+
+        param = fit_model(src_proc, ref_canvas, params)
+        pc = param[:, oh : oh + span, ow : ow + span]
+
+        param_us = np.stack([
+            ops.upsample_nearest(pc[0], (f, f)),
+            ops.upsample_nearest(pc[1], (f, f)),
+        ])
+        src_interior = src_canvas[oh * f : (oh + span) * f, ow * f : (ow + span) * f]
+        if params.mask_partial:
+            cov_frac = ops.block_mean((~np.isnan(src_canvas)).astype(np.float32), (f, f))
+            mask = (cov_frac >= 1).astype(np.uint8)
+            mask &= (~np.isnan(param[0])).astype(np.uint8)
+            se = (params.kernel_shape[0] + 2, params.kernel_shape[1] + 2)
+            full_cov = ops.erode_rect(mask, se).astype(bool)
+            cov_us = ops.upsample_nearest(
+                full_cov[oh : oh + span, ow : ow + span].astype(np.float32),
+                (f, f)) >= 0.5
+            param_us[:, ~cov_us] = np.nan
+        else:
+            param_us[:, np.isnan(src_interior)] = np.nan
+        corr_canvas = apply_model(src_interior, param_us)
+
+        out = {f_.name: [] for f_ in FUSED_TILE_SCHEMA.fields}
+        for cid, mref, lr_, lc_ in owned:
+            g = pc[0, lr_ * tile_px : (lr_ + 1) * tile_px, lc_ * tile_px : (lc_ + 1) * tile_px]
+            o = pc[1, lr_ * tile_px : (lr_ + 1) * tile_px, lc_ * tile_px : (lc_ + 1) * tile_px]
+            out["image_id"].append(image_id)
+            out["band"].append(int(band))
+            out["cell_id"].append(cid)
+            out["media_ref"].append(mref)
+            out["h"].append(tile_px)
+            out["w"].append(tile_px)
+            out["corr"].append(encode_tile(
+                corr_canvas[lr_ * src_px : (lr_ + 1) * src_px, lc_ * src_px : (lc_ + 1) * src_px]))
+            out["gain"].append(encode_tile(g))
+            out["offset"].append(encode_tile(o))
+            out["r2"].append(encode_tile(
+                pc[2, lr_ * tile_px : (lr_ + 1) * tile_px, lc_ * tile_px : (lc_ + 1) * tile_px])
+                if find_r2 and pc.shape[0] > 2 else None)
+            out["n_valid"].append(int(np.count_nonzero(~np.isnan(g))))
+        return pd.DataFrame(out)
+
+    return routed.groupBy("image_id", "band", "chunk_id").applyInPandas(
+        fuse_group, schema=FUSED_TILE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 3: co-grouped assemble + fit + apply (one canvas per chunk)
 # ---------------------------------------------------------------------------
 
 def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
-    """groupBy (image_id, band, cell_id) → assemble src/ref blocks with halo
-    → kernel-model fit on the proc grid → apply to the original src tile.
+    """groupBy (image_id, band, chunk_id) → assemble src/ref canvases with
+    halo → kernel-model fit on the proc grid → apply to the original src
+    tiles → per-cell output rows.
 
-    This single exchange realizes the reference's BlockPair read
+    One exchange realizes the reference's BlockPair read
     (``raster_pair.py:313-340``), ``model.fit`` and ``model.apply``
     (``fuse.py:396-401``) — src↔ref pairing included (union + co-group, so
     no second join shuffle).
@@ -259,81 +429,88 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
     tile_px = cfg.tile
     oh, ow = overlap_for_kernel(cfg.params.kernel_shape)
     factor = cfg.factor
+    K = cfg.chunk
     params = cfg.params
-    bh, bw = tile_px + 2 * oh, tile_px + 2 * ow
+    span = K * tile_px
+    bh, bw = span + 2 * oh, span + 2 * ow
     src_px = tile_px * factor
+    find_r2 = params.find_r2 or (
+        Model(params.model) == Model.gain_offset and params.r2_inpaint_thresh is not None
+    )
 
     def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        image_id, band, cell_id = key
+        image_id, band, chunk_id = key
         blocks = {
             "src": np.full((bh, bw), np.nan, dtype=np.float32),
             "ref": np.full((bh, bw), np.nan, dtype=np.float32),
-            "scov": np.full((bh, bw), np.nan, dtype=np.float32),
         }
-        src_orig = None
-        media_ref = None
+        if params.mask_partial:
+            blocks["scov"] = np.full((bh, bw), np.nan, dtype=np.float32)
+        src_canvas = np.full((span * factor, span * factor), np.nan, dtype=np.float32)
+        owned = []  # (cell_id, media_ref, local_r, local_c) of src tiles here
         for r in pdf.itertuples(index=False):
             arr = decode_tile(r.data, r.ph, r.pw)
             if r.role == "src_orig":
-                src_orig = arr
-                media_ref = r.media_ref
+                src_canvas[r.py : r.py + r.ph, r.px : r.px + r.pw] = arr
+                owned.append((int(r.cell_id), r.media_ref,
+                              r.py // (tile_px * factor), r.px // (tile_px * factor)))
             else:
                 blocks[r.role][r.py : r.py + r.ph, r.px : r.px + r.pw] = arr
 
         # exactly-once out-block ownership (reference raster_pair.py:389-427):
-        # only the cell that owns a source tile writes output — halo-only
-        # groups (strips leaked past the image edge) emit nothing
-        if src_orig is None or not (~np.isnan(blocks["src"]) & ~np.isnan(blocks["ref"])).any():
-            return pd.DataFrame(columns=[f.name for f in FUSED_TILE_SCHEMA.fields])
+        # only chunks owning source tiles write output — halo-only groups
+        # (strips leaked past the image edge) emit nothing
+        if not owned or not (~np.isnan(blocks["src"]) & ~np.isnan(blocks["ref"])).any():
+            return pd.DataFrame({f.name: [] for f in FUSED_TILE_SCHEMA.fields})
 
-        src_b = blocks["src"]
-        ref_b = blocks["ref"]
-        param = fit_model(src_b, ref_b, params)
+        param = fit_model(blocks["src"], blocks["ref"], params)
+        # crop params to the canvas interior (the chunk's out-block)
+        pc = param[:, oh : oh + span, ow : ow + span]
 
-        # crop params to the out-block (exactly-once ownership, the engine's
-        # src_out_block/ref_out_block adjacency — raster_pair.py:389-427)
-        pc = param[:, oh : oh + tile_px, ow : ow + tile_px]
+        # params on the src grid for the apply stage
+        param_us = np.stack([
+            ops.upsample_nearest(pc[0], (factor, factor)),
+            ops.upsample_nearest(pc[1], (factor, factor)),
+        ])
+        if params.mask_partial:
+            # strict coverage (kernel_model.py:375-409): proc pixels whose
+            # src coverage fraction is 1, AND param validity, eroded by a
+            # k+2 rect SE. Halo radius == erosion radius (ceil(k/2) ==
+            # k//2+1 for odd k), so the interior crop is exact.
+            cov_frac = np.nan_to_num(blocks["scov"], nan=0.0)
+            mask = (cov_frac >= 1).astype(np.uint8)
+            mask &= (~np.isnan(param[0])).astype(np.uint8)
+            se = (params.kernel_shape[0] + 2, params.kernel_shape[1] + 2)
+            full_cov = ops.erode_rect(mask, se).astype(bool)
+            cov_us = ops.upsample_nearest(
+                full_cov[oh : oh + span, ow : ow + span].astype(np.float32),
+                (factor, factor)) >= 0.5
+            param_us[:, ~cov_us] = np.nan
+        else:
+            param_us[:, np.isnan(src_canvas)] = np.nan
+        corr_canvas = apply_model(src_canvas, param_us)
 
-        corr_bytes = None
-        n_valid = int(np.count_nonzero(~np.isnan(pc[0])))
-        if src_orig is not None:
-            param_us = np.stack([
-                ops.upsample_nearest(pc[0], (factor, factor)),
-                ops.upsample_nearest(pc[1], (factor, factor)),
-            ])
-            if params.mask_partial:
-                # strict coverage (kernel_model.py:375-409): proc pixels whose
-                # src coverage fraction is 1, AND param validity, eroded by a
-                # k+2 rect SE. Halo radius == erosion radius (ceil(k/2) vs
-                # k//2+1, equal for odd k), so the center crop is exact.
-                cov_frac = np.nan_to_num(blocks["scov"], nan=0.0)
-                mask = (cov_frac >= 1).astype(np.uint8)
-                mask &= (~np.isnan(param[0])).astype(np.uint8)
-                se = (params.kernel_shape[0] + 2, params.kernel_shape[1] + 2)
-                full_cov = ops.erode_rect(mask, se).astype(bool)
-                cov_c = full_cov[oh : oh + tile_px, ow : ow + tile_px]
-                cov_us = ops.upsample_nearest(cov_c.astype(np.float32), (factor, factor)) >= 0.5
-                param_us[:, ~cov_us] = np.nan
-            else:
-                param_us[:, np.isnan(src_orig)] = np.nan
-            corr = apply_model(src_orig, param_us)
-            corr_bytes = encode_tile(corr)
+        out = {f.name: [] for f in FUSED_TILE_SCHEMA.fields}
+        for cid, mref, lr, lc in owned:
+            g = pc[0, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px]
+            o = pc[1, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px]
+            out["image_id"].append(image_id)
+            out["band"].append(int(band))
+            out["cell_id"].append(cid)
+            out["media_ref"].append(mref)
+            out["h"].append(tile_px)
+            out["w"].append(tile_px)
+            out["corr"].append(encode_tile(
+                corr_canvas[lr * src_px : (lr + 1) * src_px, lc * src_px : (lc + 1) * src_px]))
+            out["gain"].append(encode_tile(g))
+            out["offset"].append(encode_tile(o))
+            out["r2"].append(encode_tile(
+                pc[2, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px])
+                if find_r2 and pc.shape[0] > 2 else None)
+            out["n_valid"].append(int(np.count_nonzero(~np.isnan(g))))
+        return pd.DataFrame(out)
 
-        return pd.DataFrame([{
-            "image_id": image_id,
-            "band": int(band),
-            "cell_id": int(cell_id),
-            "media_ref": media_ref,
-            "h": tile_px,
-            "w": tile_px,
-            "corr": corr_bytes,
-            "gain": encode_tile(pc[0]),
-            "offset": encode_tile(pc[1]),
-            "r2": encode_tile(pc[2]) if pc.shape[0] > 2 else None,
-            "n_valid": n_valid,
-        }])
-
-    return pieces.groupBy("image_id", "band", "cell_id").applyInPandas(
+    return pieces.groupBy("image_id", "band", "chunk_id").applyInPandas(
         fuse_group, schema=FUSED_TILE_SCHEMA
     )
 
@@ -371,20 +548,35 @@ def fuse(
     mask_partial: bool = False,
     proc_crs: ProcCrs | str = ProcCrs.ref,
     check_coverage: bool = False,
+    chunk: int = 4,
+    halo_mode: str = "strips",
 ) -> DataFrame:
     """Run the full fuse pipeline; returns the fused-tile DataFrame
     (corrected src tiles + gain/offset/r2 parameter tiles per cell).
 
-    Lazy end-to-end: Catalyst sees scan → join → mapInPandas →
-    one hash-partitioned exchange → applyInPandas.
+    ``halo_mode``:
+    - ``"strips"`` (default): Arrow pre-stage slices minimal halo strips —
+      lowest shuffle bytes (~+4·overlap/(chunk·tile), ≈1% at production
+      tile sizes); the right default when the cluster is shuffle-bound,
+      which is the usual case at 100 TB.
+    - ``"routed"``: JVM-side whole-tile routing — no Python stage before
+      the group exchange, at ~+2/chunk shuffle duplication; use when
+      executors are CPU-bound rather than network-bound.
+    Both produce bit-identical fused output
+    (tests/test_fuse_spark.py::test_halo_modes_agree).
+
+    Lazy end-to-end: Catalyst sees scan → semi-join → (routing expr | Arrow
+    slicer) → one hash-partitioned exchange → applyInPandas.
     """
     params = KernelModelParams(
         model=Model(model), kernel_shape=tuple(kernel_shape), find_r2=find_r2,
         r2_inpaint_thresh=r2_inpaint_thresh, mask_partial=mask_partial,
     )
-    cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs))
+    cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs), chunk=chunk)
     used = referenced_tiles(documents, tiles)
     if check_coverage and coverage_audit(used) > 0:
         raise ImageContentError("reference tiles do not cover all source cells")
+    if halo_mode == "routed":
+        return fuse_blocks_routed(route_tiles(used, cfg), cfg)
     pieces = halo_explode(used, cfg)
     return fuse_blocks(pieces, cfg)

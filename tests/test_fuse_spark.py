@@ -125,6 +125,26 @@ def test_parallelism_invariance(spark, fixture_tables):
             assert x == y  # bit-exact across parallelism levels
 
 
+@pytest.mark.parametrize("model,partial", [("gain", False), ("gain-offset", False),
+                                           ("gain-blk-offset", True)])
+def test_halo_modes_agree(spark, fixture_tables, model, partial):
+    """JVM whole-tile routing and Arrow strip slicing produce bit-identical
+    fused output (the two halo_mode strategies are interchangeable)."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+
+    def run(mode):
+        f = fuse_ops.fuse(docs, tiles, model=model, kernel_shape=(5, 5),
+                          find_r2=True, r2_inpaint_thresh=None,
+                          mask_partial=partial, halo_mode=mode).toPandas()
+        return f.sort_values(["band", "cell_id"]).reset_index(drop=True)
+
+    a, b = run("routed"), run("strips")
+    assert list(a["cell_id"]) == list(b["cell_id"])
+    for col in ("gain", "offset", "r2", "corr"):
+        for x, y in zip(a[col], b[col]):
+            assert x == y
+
+
 def test_compare_identical_images(spark):
     """compare(identical src/ref): r²=1, RMSE=0, rRMSE=0 per band + Mean row
     (reference tests/test_compare.py:35-52,159-163)."""

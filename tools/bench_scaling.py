@@ -32,8 +32,9 @@ specs = datagen.default_specs(scale=pairs, bands=1, tile=tile)
 docs_pdf, tiles_pdf = datagen.build_fixture_tables(specs)
 docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf, partitions=max(cpus, 8))
 docs.cache().count(); tiles.cache().count()
-# warm-up (JIT, Arrow init) on a small slice
-fuse(docs.limit(10), tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
+# warm-up: spin up every python worker + JIT before timing
+fuse(docs.limit(4 * cpus).repartition(cpus), tiles,
+     model="gain-blk-offset", kernel_shape=(5, 5)).count()
 t0 = time.perf_counter()
 n = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
 dt = time.perf_counter() - t0
