@@ -312,6 +312,168 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization via window lag: a new session starts after a
+    >30-minute gap per user (the batch analogue of the streaming session
+    window; SURVEY.md §2.7 windows)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = sess.withColumn("sess_no", F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sess_value"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.max("n_events").alias("max_sess_events"),
+             F.round(F.sum("sess_value"), 6).alias("total_value"))
+        .orderBy("user_id")
+        .select(F.col("user_id").cast("long"), "n_sessions", "max_sess_events", "total_value")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM gaps
+), per_sess AS (
+  SELECT user_id, sess_no, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sess_value
+  FROM sess GROUP BY user_id, sess_no
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_sess_events,
+       ROUND(SUM(sess_value), 6) AS total_value
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column
+    (SURVEY.md §2.7 JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.max(k).alias("max_k"),
+             F.count(F.when(k.isNull(), 1)).alias("null_k"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS null_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators: users with purchases EXCEPT users with
+    errors, INTERSECT of clickers and viewers (SURVEY.md §2.7 set ops)."""
+    ev = _t(spark, sf_dir, "events")
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()
+    buyers_no_errors = u("purchase").exceptAll(u("error")).distinct()
+    click_and_view = u("click").intersect(u("view"))
+    return (
+        buyers_no_errors.withColumn("cohort", F.lit("buyers_no_errors"))
+        .unionByName(click_and_view.withColumn("cohort", F.lit("click_and_view")))
+        .groupBy("cohort").agg(F.count("*").alias("n_users"),
+                               F.sum("user_id").alias("sum_user_id"))
+        .orderBy("cohort")
+    )
+
+
+ORACLE_SET_OPS = """
+WITH b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+), cv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), tagged AS (
+  SELECT user_id, 'buyers_no_errors' AS cohort FROM b
+  UNION ALL SELECT user_id, 'click_and_view' FROM cv
+)
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+       SUM(user_id) AS sum_user_id
+FROM tagged GROUP BY cohort ORDER BY cohort
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus) (SURVEY.md §2.7 grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "total", "n")
+        .orderBy("priority", "status")
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       ROUND(SUM(o_totalprice), 4) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+def q_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti/semi joins — the engine's coverage-audit shape (J5): customers
+    with orders (semi) and without orders (anti), per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi")
+    without = c.join(o, "c_custkey", "left_anti")
+    return (
+        with_orders.withColumn("cohort", F.lit("with_orders"))
+        .unionByName(without.withColumn("cohort", F.lit("without_orders")))
+        .groupBy("cohort", F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cohort", "nationkey")
+    )
+
+
+ORACLE_ANTI_SEMI_JOIN = """
+WITH w AS (
+  SELECT c_nationkey FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+), wo AS (
+  SELECT c_nationkey FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+), tagged AS (
+  SELECT 'with_orders' AS cohort, c_nationkey FROM w
+  UNION ALL SELECT 'without_orders', c_nationkey FROM wo
+)
+SELECT cohort, CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged GROUP BY cohort, c_nationkey ORDER BY cohort, nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity operators (DuckDB-checked)
 # ---------------------------------------------------------------------------
@@ -579,6 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_match_rank": q_band_match_rank,
         "topk_orders": q_topk_orders,
         "join_pushdown": q_join_pushdown,
+        "sessionize": q_sessionize,
+        "json_extract": q_json_extract,
+        "set_ops": q_set_ops,
+        "cube_orders": q_cube_orders,
+        "anti_semi_join": q_anti_semi_join,
         # text / dedup / similarity (DuckDB-checked)
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
@@ -607,6 +774,11 @@ def oracle_sql() -> dict[str, str]:
         "band_match_rank": ORACLE_BAND_MATCH_RANK,
         "topk_orders": ORACLE_TOPK_ORDERS,
         "join_pushdown": ORACLE_JOIN_PUSHDOWN,
+        "sessionize": ORACLE_SESSIONIZE,
+        "json_extract": ORACLE_JSON_EXTRACT,
+        "set_ops": ORACLE_SET_OPS,
+        "cube_orders": ORACLE_CUBE_ORDERS,
+        "anti_semi_join": ORACLE_ANTI_SEMI_JOIN,
         "text_profile": ORACLE_TEXT_PROFILE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

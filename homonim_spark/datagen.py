@@ -216,6 +216,109 @@ def default_specs(scale: int = 1, bands: int = 1, tile: int = 16) -> List[Raster
     return specs
 
 
+# --- distributed generation (bench scale — no driver bottleneck) -----------
+
+def distributed_fixture(
+    spark: SparkSession,
+    n_pairs: int,
+    cells: Tuple[int, int] = (4, 4),
+    tile: int = 16,
+    factor: int = 2,
+    bands: int = 1,
+    seed: int = 42,
+    partitions: Optional[int] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Generate the documents + tiles tables **in executors** — one task
+    per (pair, band, cell-row) work unit, everything derived closed-form
+    from the unit index (deterministic under any partitioning).
+
+    Pixel content matches the driver-side generator's gradients; document
+    text/interleaving uses a per-unit seeded RNG (so the distributed corpus
+    is deterministic but not byte-identical to ``build_pair_tables`` — use
+    that one for golden tests, this one for scale benchmarks).
+    """
+    ch, cw = cells
+    n_units = n_pairs * bands * ch
+    parts = partitions or max(32, n_units // 8)
+    units = spark.range(0, n_units, 1, parts)
+    px_ref = grid.cell_size(FIXTURE_RES) / tile
+
+    def gen_tiles(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in TILES_SCHEMA.fields}
+            for uid in pdf["id"]:
+                uid = int(uid)
+                cr = uid % ch
+                band = (uid // ch) % bands
+                pi = uid // (ch * bands)
+                spec = RasterFixtureSpec(
+                    pair_id=f"pair{pi}", cells=cells, tile=tile, factor=factor,
+                    bands=bands, true_gain=1.0 + 0.25 * (pi % 4),
+                    true_offset=float(2 * (pi % 3)),
+                    origin=(8 * (pi // 4096), 8 * (pi % 4096)),
+                )
+                trow0, tcol0 = spec.origin
+                # generate only this cell-row strip of the pair (closed form)
+                ref_img, src_img = make_pair_arrays(spec, band)
+                for cc in range(cw):
+                    for role, img, t in (("ref", ref_img, tile), ("src", src_img, tile * factor)):
+                        arr = img[cr * t : (cr + 1) * t, cc * t : (cc + 1) * t]
+                        px = px_ref if role == "ref" else px_ref / factor
+                        out["media_ref"].append(media_ref_str(spec.pair_id, role, band, cr, cc))
+                        out["image_id"].append(spec.pair_id)
+                        out["role"].append(role)
+                        out["band"].append(band)
+                        out["cell_id"].append(grid.cell_id(FIXTURE_RES, trow0 + cr, tcol0 + cc))
+                        out["row"].append(trow0 + cr)
+                        out["col"].append(tcol0 + cc)
+                        out["h"].append(t)
+                        out["w"].append(t)
+                        out["transform"].append([px, 0.0,
+                                                 (tcol0 + cc) * grid.cell_size(FIXTURE_RES),
+                                                 0.0, px,
+                                                 (trow0 + cr) * grid.cell_size(FIXTURE_RES)])
+                        out["data"].append(encode_tile(arr))
+            yield pd.DataFrame(out)
+
+    def gen_docs(batches):
+        for pdf in batches:
+            rows = []
+            for uid in pdf["id"]:
+                uid = int(uid)
+                cr = uid % ch
+                band = (uid // ch) % bands
+                pi = uid // (ch * bands)
+                rng = np.random.default_rng([seed, pi, band, cr])
+                pair_id = f"pair{pi}"
+                spans = []
+                offset = 0
+
+                def add_text():
+                    nonlocal offset
+                    n = int(rng.integers(3, 9))
+                    words = [_TEXT_WORDS[int(i)] for i in rng.integers(0, len(_TEXT_WORDS), n)]
+                    spans.append({"kind": "text", "text": " ".join(words),
+                                  "media_ref": "", "offset": offset})
+                    offset += 1
+
+                add_text()
+                for cc in range(cw):
+                    for role in ("ref", "src"):
+                        spans.append({"kind": "media", "text": "",
+                                      "media_ref": media_ref_str(pair_id, role, band, cr, cc),
+                                      "offset": offset})
+                        offset += 1
+                    if rng.random() < 0.5:
+                        add_text()
+                add_text()
+                rows.append({"doc_id": f"doc-{pair_id}-b{band}-r{cr:04d}", "spans": spans})
+            yield pd.DataFrame(rows)
+
+    tiles = units.mapInPandas(gen_tiles, schema=TILES_SCHEMA)
+    docs = units.mapInPandas(gen_docs, schema=DOCUMENTS_SCHEMA)
+    return docs, tiles
+
+
 # --- spatial fixtures (FIXTURES.md §3) -------------------------------------
 
 def build_footprints(n: int = 8, res: int = FIXTURE_RES, seed: int = 42) -> pd.DataFrame:

@@ -83,13 +83,20 @@ def downsample_average(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
         return arr.astype(np.float32, copy=True)
     h, w = arr.shape
     assert h % fh == 0 and w % fw == 0, "tile not divisible by resample factor"
-    blocks = arr.reshape(h // fh, fh, w // fw, fw).astype(np.float64)
-    valid = ~np.isnan(blocks)
-    cnt = valid.sum(axis=(1, 3))
-    tot = np.nansum(blocks, axis=(1, 3))
-    out = np.full((h // fh, w // fw), np.nan, dtype=np.float64)
+    # strided slice-adds instead of reshape+float64 nansum: ~4x less memory
+    # traffic (the fuse group stage is bandwidth-bound); f² ≤ ~16 float32
+    # adds per output pixel lose no precision that matters here
+    valid = ~np.isnan(arr)
+    v = np.where(valid, arr, np.float32(0.0))
+    tot = np.zeros((h // fh, w // fw), dtype=np.float32)
+    cnt = np.zeros((h // fh, w // fw), dtype=np.float32)
+    for i in range(fh):
+        for j in range(fw):
+            tot += v[i::fh, j::fw]
+            cnt += valid[i::fh, j::fw]
+    out = np.full((h // fh, w // fw), np.nan, dtype=np.float32)
     np.divide(tot, cnt, out=out, where=cnt > 0)
-    return out.astype(np.float32)
+    return out
 
 
 def block_mean(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
@@ -98,7 +105,12 @@ def block_mean(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
     ``Resampling.average`` (``/root/reference/homonim/kernel_model.py:396-399``)."""
     fh, fw = int(factor[0]), int(factor[1])
     h, w = arr.shape
-    return arr.reshape(h // fh, fh, w // fw, fw).astype(np.float64).mean(axis=(1, 3)).astype(np.float32)
+    out = np.zeros((h // fh, w // fw), dtype=np.float32)
+    for i in range(fh):
+        for j in range(fw):
+            out += arr[i::fh, j::fw]
+    out /= np.float32(fh * fw)
+    return out
 
 
 def upsample_nearest(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:

@@ -1,0 +1,155 @@
+"""Sinks: corrected-image output with dtype conversion, overview pyramids.
+
+Reference: ``RasterArray.to_rio_dataset`` + ``_convert_array_dtype``
+(``/root/reference/homonim/raster_array.py:424-500,353-387``) — dtype
+promote/round/clip + nodata rewrite on write — and the overview build
+(``/root/reference/homonim/fuse.py:151-165``): power-of-2 downsampled
+pyramids, ≤8 levels, min 256 px.
+
+Spark-native: the dtype conversion runs inside the write-path Arrow UDF
+(numpy semantics identical to the reference: round-half-to-even, clip to
+iinfo bounds); overviews are parent-cell coarsening aggregations on the
+H3-style grid — each level is one ``groupBy(parent(cell))`` with block-mean
+averaging, exactly the aperture-4 hierarchy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from homonim_spark import grid
+from homonim_spark.kernel import ops
+from homonim_spark.tiles import convert_array_dtype, decode_tile, encode_tile
+
+_OUT_TILE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("cell_id", T.LongType(), False),
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("dtype", T.StringType(), False),
+    T.StructField("nodata", T.DoubleType(), True),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def convert_tiles(
+    fused: DataFrame,
+    value_col: str = "corr",
+    dtype: str = "float32",
+    nodata: Optional[float] = None,
+    scale_h: int = 1,
+) -> DataFrame:
+    """Dtype-convert a fused payload column for the sink (S6/S7).
+
+    ``scale_h``: payload dim = h·scale_h (corr tiles are factor× the proc
+    tile). Conversion semantics match the reference exactly
+    (``raster_array.py:353-387``): promote → clip to integer bounds →
+    ``np.round`` (half-to-even) → rewrite masked pixels to ``nodata``.
+    """
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _OUT_TILE_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                data = getattr(r, value_col)
+                if data is None:
+                    continue
+                hh, ww = r.h * scale_h, r.w * scale_h
+                arr = decode_tile(data, hh, ww)
+                conv_arr = convert_array_dtype(arr, dtype, nodata)
+                out["image_id"].append(r.image_id)
+                out["band"].append(int(r.band))
+                out["cell_id"].append(int(r.cell_id))
+                out["media_ref"].append(getattr(r, "media_ref", None))
+                out["h"].append(hh)
+                out["w"].append(ww)
+                out["dtype"].append(dtype)
+                out["nodata"].append(nodata)
+                out["data"].append(np.ascontiguousarray(conv_arr).tobytes())
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "band", "cell_id", "h", "w", value_col]
+    if "media_ref" in fused.columns:
+        cols.append("media_ref")
+    return fused.select(*cols).mapInPandas(conv, schema=_OUT_TILE_SCHEMA)
+
+
+def write_corrected(
+    fused: DataFrame, path: str, dtype: str = "float32",
+    nodata: Optional[float] = None, scale_h: int = 1,
+    partition_by_band: bool = True,
+) -> None:
+    """S6/S8: corrected-tile sink — parquet partitioned by band (the
+    columnar stand-in for the Iceberg table; band partitioning gives the
+    same partition pruning the reference gets from per-band reads)."""
+    out = convert_tiles(fused, "corr", dtype, nodata, scale_h)
+    w = out.write.mode("overwrite")
+    if partition_by_band:
+        w = w.partitionBy("band")
+    w.parquet(path)
+
+
+_OVERVIEW_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("cell_id", T.LongType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def _coarsen_level(tiles: DataFrame, tile_px: int, value_col: str) -> DataFrame:
+    """One pyramid level: 4 child tiles → 1 parent tile at half resolution.
+
+    groupBy(parent(cell_id)) — a single shuffle whose groups are exactly 4
+    rows; block-mean downsample inside the UDF (NaN-aware average, the
+    reference's overview resampling default).
+    """
+
+    def coarsen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band, parent_id = key
+        canvas = np.full((2 * tile_px, 2 * tile_px), np.nan, dtype=np.float32)
+        for r in pdf.itertuples(index=False):
+            cr = grid.cell_row(int(r.cell_id)) & 1
+            cc = grid.cell_col(int(r.cell_id)) & 1
+            canvas[cr * tile_px : (cr + 1) * tile_px, cc * tile_px : (cc + 1) * tile_px] = \
+                decode_tile(r.data, tile_px, tile_px)
+        out = ops.downsample_average(canvas, (2, 2))
+        return pd.DataFrame({
+            "image_id": [image_id], "band": [int(band)], "cell_id": [int(parent_id)],
+            "h": [tile_px], "w": [tile_px], "data": [encode_tile(out)],
+        })
+
+    src = tiles.select(
+        "image_id", "band", "cell_id",
+        F.col(value_col).alias("data"),
+        grid.parent_expr(F.col("cell_id")).alias("parent_id"),
+    )
+    return src.groupBy("image_id", "band", "parent_id").applyInPandas(
+        coarsen, schema=_OVERVIEW_SCHEMA)
+
+
+def build_overviews(
+    tiles: DataFrame, tile_px: int, value_col: str = "data",
+    max_levels: int = 8, min_px: int = 256,
+) -> list[DataFrame]:
+    """S9: overview pyramid — up to ``max_levels`` half-resolution levels,
+    stopping when a level's full image would drop under ``min_px`` is the
+    caller's concern (the reference's rule, ``fuse.py:151-165``); here each
+    returned DataFrame is one level, lazily defined, each a single
+    4-rows-per-group shuffle."""
+    levels = []
+    cur = tiles if value_col == "data" else tiles.withColumnRenamed(value_col, "data")
+    for _ in range(max_levels):
+        cur = _coarsen_level(cur, tile_px, "data")
+        levels.append(cur)
+    return levels

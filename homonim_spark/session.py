@@ -31,7 +31,12 @@ def get_spark(
         # the north_rule's explicit skew handling rides on this plus salting
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing merges shuffle partitions by BYTES, but the engine's
+        # pandas-UDF group stages are CPU-bound per byte — bytes-based
+        # coalescing starves cores (measured 4-6x slowdown on the fuse
+        # exchange). Skew-join splitting stays on; partition counts are
+        # sized explicitly via shuffle.partitions instead.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         # Arrow is the only Python<->JVM path the engine uses
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

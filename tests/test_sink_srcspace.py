@@ -1,0 +1,112 @@
+"""Tests for the sinks (dtype conversion, overviews) and proc_crs=src."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from homonim_spark import datagen, grid
+from homonim_spark.enums import Model
+from homonim_spark.operators import fuse as fuse_ops
+from homonim_spark.operators.sink import build_overviews, convert_tiles, write_corrected
+from homonim_spark.tiles import convert_array_dtype, decode_tile
+
+
+@pytest.fixture(scope="module")
+def fused(spark):
+    spec = datagen.RasterFixtureSpec(pair_id="s0", cells=(2, 4), tile=16, factor=2,
+                                     true_gain=2.0, true_offset=10.0)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    out = fuse_ops.fuse(docs, tiles, model=Model.gain_blk_offset, kernel_shape=(5, 5))
+    return spec, tiles_pdf, out.cache()
+
+
+def test_convert_array_dtype_semantics():
+    """Round-half-to-even + clip + nodata rewrite (raster_array.py:353-387)."""
+    arr = np.array([[0.5, 1.5, 2.5], [300.0, -5.0, np.nan]], dtype=np.float32)
+    out = convert_array_dtype(arr, "uint8", nodata=255)
+    # np.round: 0.5→0, 1.5→2, 2.5→2 (half-to-even); 300 clips to 255;
+    # -5 clips to 0; NaN → nodata
+    np.testing.assert_array_equal(out, np.array([[0, 2, 2], [255, 0, 255]], dtype=np.uint8))
+    assert out.dtype == np.uint8
+
+
+def test_sink_dtype_conversion(spark, fused):
+    spec, tiles_pdf, fdf = fused
+    out = convert_tiles(fdf, "corr", dtype="uint8", nodata=255, scale_h=spec.factor).toPandas()
+    assert len(out) == 8
+    arr = np.frombuffer(out.iloc[0]["data"], dtype=np.uint8)
+    assert arr.size == (16 * 2) ** 2
+    assert (out["dtype"] == "uint8").all()
+
+
+def test_write_corrected_roundtrip(spark, fused, tmp_path):
+    spec, tiles_pdf, fdf = fused
+    path = str(tmp_path / "corrected")
+    write_corrected(fdf, path, dtype="float32", nodata=None, scale_h=spec.factor)
+    back = spark.read.parquet(path)
+    assert back.count() == 8
+    assert "band" in back.columns  # partition column survives
+
+
+def test_overview_pyramid(spark, fused):
+    spec, tiles_pdf, fdf = fused
+    levels = build_overviews(fdf.select("image_id", "band", "cell_id",
+                                        F.col("gain").alias("data")), 16,
+                             max_levels=1)
+    l1 = levels[0].toPandas()
+    # 2x4 cells → parents at res-1: rows 0, cols 0..1 → 2 tiles
+    assert len(l1) == 2
+    for r in l1.itertuples(index=False):
+        assert grid.cell_res(int(r.cell_id)) == datagen.FIXTURE_RES - 1
+        arr = decode_tile(r.data, 16, 16)
+        # gain plane is constant true_gain where valid
+        assert np.nanmax(np.abs(arr - spec.true_gain)) < 1e-2
+
+
+@pytest.mark.parametrize("factor", [1, 2])
+def test_src_space_fuse(spark, factor):
+    """proc_crs=src (SrcSpaceModel): params live on the src grid and recover
+    the planted relation; factor=1 must agree with proc_crs=ref exactly."""
+    spec = datagen.RasterFixtureSpec(pair_id=f"ss{factor}", cells=(2, 2), tile=16,
+                                     factor=factor, true_gain=2.0, true_offset=10.0,
+                                     nan_border_src=1)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    out = fuse_ops.fuse(docs, tiles, model=Model.gain_offset, kernel_shape=(5, 5),
+                        r2_inpaint_thresh=None, proc_crs="src").toPandas()
+    assert len(out) == 4
+    px = spec.tile * factor
+    assert (out["h"] == px).all()
+    for r in out.itertuples(index=False):
+        g = decode_tile(r.gain, px, px)
+        o = decode_tile(r.offset, px, px)
+        mask = ~np.isnan(g)
+        assert mask.any()
+        corr = decode_tile(r.corr, px, px)
+        cmask = ~np.isnan(corr)
+        src = decode_tile(
+            tiles_pdf[(tiles_pdf.media_ref == r.media_ref)].iloc[0]["data"], px, px)
+        ref_rel = spec.true_gain * src + spec.true_offset
+        if factor == 1:
+            # aligned grids: exact recovery at the reference's tolerance
+            np.testing.assert_allclose(g[mask], spec.true_gain, atol=2e-2)
+            np.testing.assert_allclose(o[mask], spec.true_offset, atol=0.3)
+            np.testing.assert_allclose(corr[cmask], ref_rel[cmask], atol=2.0)
+        else:
+            # blocky-src vs interpolated-ref regression is slope-biased at
+            # fine scale (present in the reference's src-space path too);
+            # use its integration-test criterion: correction must *improve*
+            # agreement with the reference relation
+            rmse_raw = np.sqrt(np.nanmean((src[cmask] - ref_rel[cmask]) ** 2))
+            rmse_corr = np.sqrt(np.nanmean((corr[cmask] - ref_rel[cmask]) ** 2))
+            assert rmse_corr < 0.25 * rmse_raw
+
+    if factor == 1:
+        ref_out = fuse_ops.fuse(docs, tiles, model=Model.gain_offset, kernel_shape=(5, 5),
+                                r2_inpaint_thresh=None, proc_crs="ref").toPandas()
+        a = out.sort_values("cell_id").reset_index(drop=True)
+        b = ref_out.sort_values("cell_id").reset_index(drop=True)
+        for col in ("gain", "offset", "corr"):
+            for x, y in zip(a[col], b[col]):
+                assert x == y  # identical grids ⇒ identical numerics
