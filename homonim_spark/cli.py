@@ -1,0 +1,113 @@
+"""CLI — the engine's counterpart of the reference's ``homonim`` commands
+(``/root/reference/homonim/cli.py``): ``fuse``, ``compare``, ``stats``.
+
+Inputs are parquet tables (documents + tiles per the input_hint schema)
+instead of GTiff paths; outputs are parquet tables plus JSON stats on
+stdout (the reference's ``--output`` JSON dump, ``cli.py:601-604``).
+
+Run locally::
+
+    python -m homonim_spark.cli fuse --documents d.parquet --tiles t.parquet \
+        --out /tmp/corrected --model gain-blk-offset --kernel 5 5
+
+or on a cluster via ``spark-submit --py-files homonim_spark.zip``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--documents", required=True, help="documents parquet path")
+    p.add_argument("--tiles", required=True, help="tile-payload parquet path")
+    p.add_argument("--master", default=None)
+    p.add_argument("--proc-crs", default="ref", choices=["ref", "src", "auto"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="homonim-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fuse", help="correct source tiles to reference reflectance")
+    _add_common(f)
+    f.add_argument("--out", required=True, help="output directory (parquet)")
+    f.add_argument("--model", default="gain-blk-offset",
+                   choices=["gain", "gain-blk-offset", "gain-offset"])
+    f.add_argument("--kernel", nargs=2, type=int, default=[5, 5],
+                   metavar=("H", "W"))
+    f.add_argument("--find-r2", action="store_true")
+    f.add_argument("--mask-partial", action="store_true")
+    f.add_argument("--dtype", default="float32")
+    f.add_argument("--nodata", type=float, default=None)
+    f.add_argument("--chunk", type=int, default=4)
+
+    c = sub.add_parser("compare", help="src vs ref similarity statistics")
+    _add_common(c)
+    c.add_argument("--output", default=None, help="write stats JSON here too")
+
+    s = sub.add_parser("stats", help="parameter-image statistics")
+    s.add_argument("--params", required=True, help="fused/param parquet path")
+    s.add_argument("--model", default="gain-blk-offset")
+    s.add_argument("--master", default=None)
+    s.add_argument("--output", default=None)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from homonim_spark.session import get_spark
+    spark = get_spark(app_name=f"homonim-spark-{args.cmd}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "fuse":
+        from homonim_spark.operators.fuse import fuse, infer_fuse_config
+        from homonim_spark.operators.sink import run_manifest, write_corrected
+        from homonim_spark.kernel.models import KernelModelParams
+        docs = spark.read.parquet(args.documents)
+        tiles = spark.read.parquet(args.tiles)
+        proc = "ref" if args.proc_crs == "auto" else args.proc_crs
+        fused = fuse(docs, tiles, model=args.model, kernel_shape=tuple(args.kernel),
+                     find_r2=args.find_r2, mask_partial=args.mask_partial,
+                     proc_crs=proc, chunk=args.chunk)
+        cfg = infer_fuse_config(tiles, KernelModelParams())
+        fused.cache()
+        write_corrected(fused, f"{args.out}/corrected", dtype=args.dtype,
+                        nodata=args.nodata, scale_h=cfg.factor)
+        fused.drop("corr").write.mode("overwrite").parquet(f"{args.out}/params")
+        n_bands = fused.select("band").distinct().count()
+        manifest = run_manifest(args.model, tuple(args.kernel), proc, n_bands,
+                                args.find_r2, {"src": args.tiles, "ref": args.tiles})
+        with open(f"{args.out}/MANIFEST.json", "w") as fh:
+            json.dump({k: list(v) if isinstance(v, tuple) else v
+                       for k, v in manifest.items()}, fh, indent=2)
+        print(json.dumps({"corrected_tiles": fused.count(), "out": args.out}))
+
+    elif args.cmd == "compare":
+        from homonim_spark.operators.compare import compare_with_mean
+        tiles = spark.read.parquet(args.tiles)
+        stats = compare_with_mean(tiles).toPandas().to_dict(orient="records")
+        out = json.dumps(stats, default=str)
+        print(out)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(out)
+
+    elif args.cmd == "stats":
+        from homonim_spark.operators.stats import param_stats
+        fused = spark.read.parquet(args.params)
+        stats = param_stats(fused, model=args.model).toPandas().to_dict(orient="records")
+        out = json.dumps(stats, default=str)
+        print(out)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(out)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

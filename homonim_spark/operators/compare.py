@@ -55,10 +55,11 @@ def tile_pair_join(tiles: DataFrame) -> DataFrame:
     return src.join(ref, ["image_id", "band", "cell_id"], "inner")
 
 
-def block_sums(pairs: DataFrame) -> DataFrame:
-    """Per-tile partial sums (``compare.py:232-256``): downsample src to the
-    proc (ref) grid with average resampling, mask to the common valid set,
-    emit the seven sums."""
+def block_sums(pairs: DataFrame, proc_crs: str = "ref") -> DataFrame:
+    """Per-tile partial sums (``compare.py:232-256``): bring both tiles onto
+    the processing grid (proc_crs='ref': block-mean src down; 'src':
+    bilinear-upsample ref — reference ``compare.py:236-242``), mask to the
+    common valid set, emit the seven sums."""
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +69,10 @@ def block_sums(pairs: DataFrame) -> DataFrame:
                 ref = decode_tile(r.ref_data, r.ref_h, r.ref_w)
                 if src.shape != ref.shape:
                     f = src.shape[0] // ref.shape[0]
-                    src = ops.downsample_average(src, (f, f))
+                    if proc_crs == "src":
+                        ref = ops.upsample_bilinear(ref, (f, f))
+                    else:
+                        src = ops.downsample_average(src, (f, f))
                 mask = ~np.isnan(src) & ~np.isnan(ref)
                 s = np.where(mask, src, 0).astype(np.float64)
                 v = np.where(mask, ref, 0).astype(np.float64)
@@ -101,13 +105,13 @@ def _final_stats(agg: DataFrame) -> DataFrame:
     )
 
 
-def compare(tiles: DataFrame) -> DataFrame:
+def compare(tiles: DataFrame, proc_crs: str = "ref") -> DataFrame:
     """Full compare: per (image_id, band) r2/rmse/rrmse/n.
 
     The whole reduction is built-in partial+final aggregation — no driver
     loop, no collect.
     """
-    sums = block_sums(tile_pair_join(tiles))
+    sums = block_sums(tile_pair_join(tiles), proc_crs=proc_crs)
     agg = sums.groupBy("image_id", "band").agg(
         *[F.sum(c).alias(c) for c in
           ("src_sum", "ref_sum", "src2_sum", "ref2_sum", "src_ref_sum", "res2_sum", "mask_sum")]

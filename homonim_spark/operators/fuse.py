@@ -155,6 +155,27 @@ def referenced_tiles(documents: DataFrame, tiles: DataFrame) -> DataFrame:
     return tiles.join(refs, "media_ref", "left_semi")
 
 
+def apply_band_map(tiles: DataFrame, band_map) -> DataFrame:
+    """J2-J4 integration: re-key reference tiles onto their matched source
+    band so the downstream (band, cell) pairing is the matched pairing.
+
+    ``band_map``: pandas DataFrame (src_band, ref_band[, match_dist]) from
+    ``operators.matching.match_bands`` — metadata-scale, broadcast.
+    Source tiles keep their band; reference tiles with band == ref_band are
+    re-labelled to src_band; unmatched reference bands are dropped (the
+    reference truncates to matched bands, ``matched_pair.py:335-341``).
+    """
+    spark = tiles.sparkSession
+    m = spark.createDataFrame(band_map[["src_band", "ref_band"]])
+    src = tiles.filter(F.col("role") != "ref")
+    src = src.join(F.broadcast(m.select(F.col("src_band").alias("band"))),
+                   "band", "left_semi")
+    ref = tiles.filter(F.col("role") == "ref").join(
+        F.broadcast(m), tiles["band"] == m["ref_band"], "inner"
+    ).drop("band", "ref_band").withColumnRenamed("src_band", "band")
+    return src.unionByName(ref.select(*src.columns))
+
+
 def coverage_audit(tiles: DataFrame) -> int:
     """J5: src cells with no same-cell ref tile — the engine analogue of the
     reference's covers_bounds check (``utils.py:228-252``,
@@ -603,6 +624,7 @@ def fuse(
     check_coverage: bool = False,
     chunk: int = 4,
     halo_mode: str = "routed",
+    band_map=None,
 ) -> DataFrame:
     """Run the full fuse pipeline; returns the fused-tile DataFrame
     (corrected src tiles + gain/offset/r2 parameter tiles per cell).
@@ -628,6 +650,8 @@ def fuse(
     )
     cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs), chunk=chunk)
     used = referenced_tiles(documents, tiles)
+    if band_map is not None:
+        used = apply_band_map(used, band_map)
     if check_coverage and coverage_audit(used) > 0:
         raise ImageContentError("reference tiles do not cover all source cells")
     if halo_mode == "routed":

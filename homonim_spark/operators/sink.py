@@ -97,6 +97,26 @@ def write_corrected(
     w.parquet(path)
 
 
+def run_manifest(model, kernel_shape, proc_crs, bands: int,
+                 find_r2: bool = False, extra: Optional[dict] = None) -> dict:
+    """S10: the metadata tag set the reference writes on outputs
+    (``FUSE_*`` tags + per-band descriptions ``B1_GAIN``…,
+    ``/root/reference/homonim/fuse.py:193-252``) — attach to the output
+    table as properties / a manifest JSON via ``lineage.StageRunner``."""
+    n_param = 3 if find_r2 else 2
+    band_names = []
+    for kind_i, kind in enumerate(("GAIN", "OFFSET", "R2")[:n_param]):
+        band_names += [f"B{b + 1}_{kind}" for b in range(bands)]
+    return {
+        "FUSE_SRC_FILE": extra.get("src") if extra else None,
+        "FUSE_REF_FILE": extra.get("ref") if extra else None,
+        "FUSE_MODEL": str(model),
+        "FUSE_KERNEL_SHAPE": tuple(kernel_shape),
+        "FUSE_PROC_CRS": str(proc_crs),
+        "band_descriptions": band_names,
+    }
+
+
 _OVERVIEW_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("band", T.IntegerType(), False),
