@@ -56,12 +56,20 @@ def main() -> None:
     # spread across every core
     fuse(docs.limit(64).repartition(int(cpus)), tiles,
          model="gain-blk-offset", kernel_shape=(5, 5)).count()
-    t0 = time.perf_counter()
-    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
-    n_out = fused.count()
-    fuse_sec = time.perf_counter() - t0
+    fuse_sec, n_out = None, 0
+    for _ in range(2):  # min of 2 — single-shot walls are noisy on shared hosts
+        t0 = time.perf_counter()
+        n_out = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
+        dt = time.perf_counter() - t0
+        fuse_sec = dt if fuse_sec is None else min(fuse_sec, dt)
     timings["fuse_gain_blk_offset_5x5"] = round(fuse_sec, 3)
     tiles_per_sec = n_out / fuse_sec if fuse_sec > 0 else 0.0
+
+    # warm the relational side: touch every table once so timings measure
+    # query compute, not first-scan page faults
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region",
+              "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     # --- operator suite over the driver tables ------------------------------
     # scale-safe set: linear or LSH-pruned operators only.  The quadratic
