@@ -608,6 +608,55 @@ def reassemble_documents(spans: DataFrame) -> DataFrame:
     )
 
 
+def knn_ref_fallback(tiles: DataFrame, max_ring: int = 2) -> DataFrame:
+    """J7 integration: source cells with no same-cell reference tile borrow
+    the nearest reference tile (k-ring expansion join, deterministic
+    nearest-by-(ring, cell_id)) — the donor tile is re-keyed to the missing
+    cell so the downstream pairing proceeds.
+
+    Returns ``tiles`` augmented with the borrowed reference rows.
+    """
+    from homonim_spark.operators.spatial import knn_ref_tiles
+
+    src_cells = tiles.filter(F.col("role") == "src").select("image_id", "band", "cell_id").distinct()
+    ref = tiles.filter(F.col("role") == "ref")
+    ref_cells = ref.select("image_id", "band", "cell_id").distinct()
+    missing = src_cells.join(ref_cells, ["image_id", "band", "cell_id"], "left_anti")
+    if missing.isEmpty():
+        return tiles
+    donors = knn_ref_tiles(
+        missing, ref_cells.select("cell_id"), k=1, max_ring=max_ring
+    ).select("image_id", "band",
+             F.col("cell_id").alias("dest_cell"), "ref_cell_id")
+    borrowed = (
+        donors.join(ref.withColumnRenamed("cell_id", "ref_cell_id"),
+                    ["image_id", "band", "ref_cell_id"], "inner")
+        .drop("ref_cell_id")
+        .withColumnRenamed("dest_cell", "cell_id")
+        .withColumn("media_ref", F.concat(F.lit("knn://"), F.col("media_ref")))
+    )
+    row, col = grid.cell_row_col_expr(F.col("cell_id"))
+    borrowed = borrowed.withColumn("row", row.cast("int")).withColumn("col", col.cast("int"))
+    return tiles.unionByName(borrowed.select(*tiles.columns))
+
+
+def fuse_documents(
+    documents: DataFrame,
+    tiles: DataFrame,
+    **fuse_kwargs,
+):
+    """The full document-level pipeline (north_star): run :func:`fuse`, then
+    return ``(corrected_documents, fused_tiles)`` where corrected documents
+    carry the exact original span sequence (kind, text, media_ref, order)
+    and every media span resolves to a corrected payload in ``fused_tiles``
+    via its ``media_ref`` — the reference's corrected-image output
+    re-expressed as a document table + payload table.
+    """
+    fused = fuse(documents, tiles, **fuse_kwargs)
+    corrected_docs = reassemble_documents(explode_spans(documents))
+    return corrected_docs, fused
+
+
 # ---------------------------------------------------------------------------
 # top-level API (reference RasterFuse.process, fuse.py:321-408)
 # ---------------------------------------------------------------------------
@@ -625,6 +674,7 @@ def fuse(
     chunk: int = 4,
     halo_mode: str = "routed",
     band_map=None,
+    knn_fallback_ring: int = 0,
 ) -> DataFrame:
     """Run the full fuse pipeline; returns the fused-tile DataFrame
     (corrected src tiles + gain/offset/r2 parameter tiles per cell).
@@ -652,6 +702,8 @@ def fuse(
     used = referenced_tiles(documents, tiles)
     if band_map is not None:
         used = apply_band_map(used, band_map)
+    if knn_fallback_ring > 0:
+        used = knn_ref_fallback(used, max_ring=knn_fallback_ring)
     if check_coverage and coverage_audit(used) > 0:
         raise ImageContentError("reference tiles do not cover all source cells")
     if halo_mode == "routed":

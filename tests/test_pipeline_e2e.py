@@ -1,0 +1,75 @@
+"""End-to-end: corrected documents, kNN fallback, staged resumable pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from homonim_spark import datagen
+from homonim_spark.operators import fuse as fuse_ops
+from homonim_spark.pipelines import staged_fuse_pipeline
+
+
+def test_fuse_documents_every_media_span_corrected(spark):
+    """north_star: corrected documents preserve the exact span sequence and
+    every src media span resolves to a corrected payload via media_ref."""
+    spec = datagen.RasterFixtureSpec(pair_id="e2e", cells=(2, 2), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    corrected_docs, fused = fuse_ops.fuse_documents(
+        docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+
+    # span sequences round-trip exactly
+    rb = corrected_docs.toPandas().set_index("doc_id")
+    for _, row in docs_pdf.iterrows():
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in rb.loc[row["doc_id"], "spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        assert got == want
+
+    # every src media span has a corrected payload
+    spans = fuse_ops.explode_spans(docs).filter(
+        (F.col("kind") == "media") & F.col("media_ref").contains("/src/"))
+    missing = spans.join(fused.filter(F.col("corr").isNotNull()).select("media_ref"),
+                         "media_ref", "left_anti")
+    assert missing.count() == 0
+
+
+def test_knn_fallback_fills_missing_ref_cells(spark):
+    """Delete some ref tiles; knn_fallback borrows the nearest donor and the
+    fuse output still covers every src cell (FIXTURES.md §3 ref_sparse)."""
+    spec = datagen.RasterFixtureSpec(pair_id="knn", cells=(3, 3), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    # deterministically delete the ref tiles of every 3rd cell
+    t = tiles_pdf[~((tiles_pdf.role == "ref") & ((tiles_pdf.row * 3 + tiles_pdf.col) % 3 == 0))]
+    docs, tiles = datagen.to_spark(spark, docs_pdf, t)
+
+    no_fb = fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(1, 1)).toPandas()
+    with_fb = fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(1, 1),
+                            knn_fallback_ring=2).toPandas()
+    # without fallback, cells lacking a same-cell ref produce empty params
+    assert (no_fb["n_valid"] == 0).sum() == 3
+    # fallback borrows the nearest donor: every cell now has valid params
+    assert len(with_fb) == 9
+    assert (with_fb["n_valid"] > 0).all()
+
+
+def test_staged_pipeline_resumes(spark, tmp_path):
+    spec = datagen.RasterFixtureSpec(pair_id="st", cells=(2, 2), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    run_dir = str(tmp_path / "run")
+
+    out1 = staged_fuse_pipeline(spark, docs, tiles, run_dir)
+    n_fused = out1["fuse"].count()
+    assert n_fused == 4
+    assert out1["stats"].count() > 0
+
+    # resume: all stages complete → pure checkpoint reads, same results
+    out2 = staged_fuse_pipeline(spark, docs, tiles, run_dir)
+    assert out2["fuse"].count() == n_fused
+    runner = out2["runner"]
+    m = runner.metrics().toPandas()
+    assert set(m["stage"]) == {"ingest", "fuse", "sink", "stats"}
+    # lineage recorded once per stage (no recompute on resume)
+    assert m[m.stage == "fuse"]["n_rows"].sum() == n_fused
