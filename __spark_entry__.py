@@ -478,6 +478,40 @@ FROM tagged GROUP BY cohort, c_nationkey ORDER BY cohort, nationkey
 # text / dedup / similarity operators (DuckDB-checked)
 # ---------------------------------------------------------------------------
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics over the events user_id key (the north_rule's
+    measure-don't-guess input to salted joins)."""
+    from homonim_spark.operators.spatial import skew_report
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"])
+
+
+ORACLE_SKEW_REPORT = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       SUM(n) AS total_rows,
+       MAX(n) AS max_rows,
+       ROUND(AVG(n), 6) AS avg_rows,
+       ROUND(MAX(n) / AVG(n), 6) AS skew_ratio
+FROM c
+"""
+
+
+def q_span_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis over the interleaved-span documents (rows-only: the
+    spans table is the engine's synthetic fixture)."""
+    from homonim_spark.operators.textops import span_text_profile
+    docs, tiles = _raster_spark(spark)
+    return span_text_profile(docs).orderBy("doc_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary media payloads (rows-only)."""
+    from homonim_spark.operators.multimodal import media_features
+    docs, tiles = _raster_spark(spark)
+    return media_features(tiles).orderBy("media_ref")
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homonim_spark.operators.textops import text_profile
     docs = _t(spark, sf_dir, "documents")
@@ -746,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "cube_orders": q_cube_orders,
         "anti_semi_join": q_anti_semi_join,
+        "skew_report": q_skew_report,
         # text / dedup / similarity (DuckDB-checked)
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
@@ -759,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
         "raster_compare": q_raster_compare,
         "span_roundtrip": q_span_roundtrip,
+        "span_text_profile": q_span_text_profile,
+        "media_features": q_media_features,
         "pip_assign": q_pip_assign,
         "knn_cells": q_knn_cells,
     }
@@ -779,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": ORACLE_SET_OPS,
         "cube_orders": ORACLE_CUBE_ORDERS,
         "anti_semi_join": ORACLE_ANTI_SEMI_JOIN,
+        "skew_report": ORACLE_SKEW_REPORT,
         "text_profile": ORACLE_TEXT_PROFILE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

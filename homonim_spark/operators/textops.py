@@ -87,6 +87,29 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def span_text_profile(documents: DataFrame) -> DataFrame:
+    """Text analysis over interleaved-span documents (input_hint schema):
+    concatenate each document's text spans in offset order, then profile.
+    ``array_join`` + ``filter`` keep everything JVM-side."""
+    by_offset = F.array_sort(
+        F.col("spans"),
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1).otherwise(0),
+    )
+    joined = F.array_join(
+        F.transform(
+            F.filter(by_offset, lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    flat = documents.select(
+        "doc_id", joined.alias("text"),
+        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).alias("n_media_spans"),
+    )
+    return text_profile(flat).join(flat.select("doc_id", "n_media_spans"), "doc_id")
+
+
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with the full text-analysis feature set."""
     c = F.col(text_col)
