@@ -512,8 +512,8 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
         Model(params.model) == Model.gain_offset and params.r2_inpaint_thresh is not None
     )
 
-    def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        image_id, band, chunk_id = key
+    def process_group(image_id, band, chunk_id, rows, out):
+        """rows = (role, cell_id, py, px, ph, pw, media_ref, data) tuples."""
         blocks = {
             "src": np.full((bh, bw), np.nan, dtype=np.float32),
             "ref": np.full((bh, bw), np.nan, dtype=np.float32),
@@ -522,20 +522,20 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
             blocks["scov"] = np.full((bh, bw), np.nan, dtype=np.float32)
         src_canvas = np.full((span * factor, span * factor), np.nan, dtype=np.float32)
         owned = []  # (cell_id, media_ref, local_r, local_c) of src tiles here
-        for r in pdf.itertuples(index=False):
-            arr = decode_tile(r.data, r.ph, r.pw)
-            if r.role == "src_orig":
-                src_canvas[r.py : r.py + r.ph, r.px : r.px + r.pw] = arr
-                owned.append((int(r.cell_id), r.media_ref,
-                              r.py // (tile_px * factor), r.px // (tile_px * factor)))
+        for role, cell_id, py, px, ph, pw, media_ref, data in rows:
+            arr = decode_tile(data, ph, pw)
+            if role == "src_orig":
+                src_canvas[py : py + ph, px : px + pw] = arr
+                owned.append((int(cell_id), media_ref,
+                              py // (tile_px * factor), px // (tile_px * factor)))
             else:
-                blocks[r.role][r.py : r.py + r.ph, r.px : r.px + r.pw] = arr
+                blocks[role][py : py + ph, px : px + pw] = arr
 
         # exactly-once out-block ownership (reference raster_pair.py:389-427):
         # only chunks owning source tiles write output — halo-only groups
         # (strips leaked past the image edge) emit nothing
         if not owned or not (~np.isnan(blocks["src"]) & ~np.isnan(blocks["ref"])).any():
-            return pd.DataFrame({f.name: [] for f in FUSED_TILE_SCHEMA.fields})
+            return
 
         param = fit_model(blocks["src"], blocks["ref"], params)
         # crop params to the canvas interior (the chunk's out-block)
@@ -564,7 +564,6 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
             param_us[:, np.isnan(src_canvas)] = np.nan
         corr_canvas = apply_model(src_canvas, param_us)
 
-        out = {f.name: [] for f in FUSED_TILE_SCHEMA.fields}
         for cid, mref, lr, lc in owned:
             g = pc[0, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px]
             o = pc[1, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px]
@@ -582,11 +581,31 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
                 pc[2, lr * tile_px : (lr + 1) * tile_px, lc * tile_px : (lc + 1) * tile_px])
                 if find_r2 and pc.shape[0] > 2 else None)
             out["n_valid"].append(int(np.count_nonzero(~np.isnan(g))))
-        return pd.DataFrame(out)
 
-    return pieces.groupBy("image_id", "band", "chunk_id").applyInPandas(
-        fuse_group, schema=FUSED_TILE_SCHEMA
-    )
+    def stream_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same many-small-groups streaming pattern as fuse_blocks_routed
+        cur_key = None
+        buf: list = []
+        for pdf in batches:
+            out = {f.name: [] for f in FUSED_TILE_SCHEMA.fields}
+            for row in zip(pdf["image_id"], pdf["band"], pdf["chunk_id"],
+                           pdf["role"], pdf["cell_id"], pdf["py"], pdf["px"],
+                           pdf["ph"], pdf["pw"], pdf["media_ref"], pdf["data"]):
+                key = (row[0], row[1], row[2])
+                if key != cur_key:
+                    if cur_key is not None and buf:
+                        process_group(cur_key[0], cur_key[1], cur_key[2], buf, out)
+                    cur_key, buf = key, []
+                buf.append(row[3:])
+            yield pd.DataFrame(out)
+        if cur_key is not None and buf:
+            out = {f.name: [] for f in FUSED_TILE_SCHEMA.fields}
+            process_group(cur_key[0], cur_key[1], cur_key[2], buf, out)
+            yield pd.DataFrame(out)
+
+    keyed = pieces.repartition("image_id", "band", "chunk_id") \
+                  .sortWithinPartitions("image_id", "band", "chunk_id")
+    return keyed.mapInPandas(stream_groups, schema=FUSED_TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
