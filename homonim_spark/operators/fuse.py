@@ -475,7 +475,8 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
                         process_chunk(cur_key[0], cur_key[1], cur_key[2], buf, out)
                     cur_key, buf = key, []
                 buf.append((row[3], row[4], row[5], row[6], row[7], row[8]))
-            yield pd.DataFrame(out)
+            if out["cell_id"]:
+                yield pd.DataFrame(out)
         if cur_key is not None and buf:
             out = {f_.name: [] for f_ in FUSED_TILE_SCHEMA.fields}
             process_chunk(cur_key[0], cur_key[1], cur_key[2], buf, out)
@@ -597,7 +598,8 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
                         process_group(cur_key[0], cur_key[1], cur_key[2], buf, out)
                     cur_key, buf = key, []
                 buf.append(row[3:])
-            yield pd.DataFrame(out)
+            if out["cell_id"]:
+                yield pd.DataFrame(out)
         if cur_key is not None and buf:
             out = {f.name: [] for f in FUSED_TILE_SCHEMA.fields}
             process_group(cur_key[0], cur_key[1], cur_key[2], buf, out)

@@ -1,0 +1,185 @@
+"""Ingest-time grid normalisation (S5/R3).
+
+The reference wraps CRS-mismatched / non-aligned datasets in a
+``WarpedVRT`` so everything downstream sees one canonical north-up grid
+(``/root/reference/homonim/utils.py:182-225``,
+``raster_pair.py:280-292``).  The engine's equivalent is a one-off Spark
+job: tiles with *arbitrary* affine transforms are resampled onto the
+canonical cell grid (``homonim_spark.grid``) before entering the fuse
+pipeline — after this job every tile satisfies the aligned-grid contract
+(cell-sized, north-up, integer-factor resolutions).
+
+Per tile: compute the canonical cells its footprint covers, bilinear-sample
+the canonical pixel centers from the tile (NaN outside / at nodata), emit
+per-cell fragments; a groupBy(cell) mosaic merges fragments (valid pixels
+win; overlaps average).  All inside Arrow UDFs; one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from homonim_spark import grid
+from homonim_spark.tiles import decode_tile, encode_tile
+
+_FRAG_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("role", T.StringType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("cell_id", T.LongType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("sum", T.BinaryType(), False),   # float32 value sums
+    T.StructField("cnt", T.BinaryType(), False),   # float32 valid counts
+])
+
+
+def bilinear_sample(arr: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Sample ``arr`` at fractional pixel coords (ys, xs) bilinearly;
+    NaN outside the array or where any contributing pixel is NaN (strict
+    mask propagation, like rasterio's bilinear with nodata)."""
+    h, w = arr.shape
+    out = np.full(ys.shape, np.nan, dtype=np.float32)
+    valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    if not valid.any():
+        return out
+    y = ys[valid]
+    x = xs[valid]
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = (y - y0).astype(np.float32)
+    wx = (x - x0).astype(np.float32)
+    a = arr[y0, x0]; b = arr[y0, x1]; c = arr[y1, x0]; d = arr[y1, x1]
+    vals = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+    out[valid] = vals
+    return out
+
+
+def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
+    """Normalise arbitrary-transform tiles onto the canonical grid at
+    resolution ``res`` with ``tile_px`` pixels per cell per dim.
+
+    Input rows need (image_id, role, band, transform[6], h, w, data) where
+    ``transform`` = (a, b, c, d, e, f): world x = a·col + b·row + c,
+    world y = d·col + e·row + f (pixel-corner origin convention).
+
+    Output: canonical tiles (one per covered cell) with the standard
+    engine schema subset; fragments from overlapping inputs are averaged.
+    """
+    cell_sz = grid.cell_size(res)
+    px_out = cell_sz / tile_px
+
+    def fragments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _FRAG_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                arr = decode_tile(r.data, r.h, r.w)
+                a, b, c, d, e, f_ = [float(v) for v in r.transform]
+                # tile corner world coords → covered cell range
+                cols = np.array([0, r.w, 0, r.w], dtype=np.float64)
+                rows = np.array([0, 0, r.h, r.h], dtype=np.float64)
+                xs = a * cols + b * rows + c
+                ys = d * cols + e * rows + f_
+                c0 = int(np.floor(xs.min() / cell_sz))
+                c1 = int(np.floor((xs.max() - 1e-9) / cell_sz))
+                r0 = int(np.floor(ys.min() / cell_sz))
+                r1 = int(np.floor((ys.max() - 1e-9) / cell_sz))
+                # inverse affine (a,b;d,e)
+                det = a * e - b * d
+                ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
+                for cr in range(r0, r1 + 1):
+                    for cc in range(c0, c1 + 1):
+                        # canonical pixel centers of this cell, world coords
+                        gx = (cc * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
+                        gy = (cr * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
+                        WX, WY = np.meshgrid(gx, gy)
+                        # world → source pixel coords (center convention:
+                        # pixel (i,j) center at col=j+0.5, row=i+0.5)
+                        px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
+                        py_c = id_ * (WX - c) + ie * (WY - f_) - 0.5
+                        vals = bilinear_sample(arr, py_c, px_c)
+                        valid = ~np.isnan(vals)
+                        if not valid.any():
+                            continue
+                        out["image_id"].append(r.image_id)
+                        out["role"].append(r.role)
+                        out["band"].append(int(r.band))
+                        out["cell_id"].append(grid.cell_id(res, cr, cc))
+                        out["h"].append(tile_px)
+                        out["w"].append(tile_px)
+                        out["sum"].append(encode_tile(np.where(valid, vals, 0)))
+                        out["cnt"].append(encode_tile(valid.astype(np.float32)))
+            yield pd.DataFrame(out)
+
+    frags = tiles.select(
+        "image_id", "role", "band", "transform", "h", "w", "data"
+    ).mapInPandas(fragments, schema=_FRAG_SCHEMA)
+
+    out_schema = T.StructType([
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("row", T.IntegerType(), False),
+        T.StructField("col", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("transform", T.ArrayType(T.DoubleType()), False),
+        T.StructField("data", T.BinaryType(), False),
+    ])
+
+    def mosaic(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        acc_sum = acc_cnt = None
+
+        def flush(out):
+            image_id, role, band, cell_id = cur
+            with np.errstate(invalid="ignore"):
+                vals = np.where(acc_cnt > 0, acc_sum / acc_cnt, np.nan).astype(np.float32)
+            cr, cc = grid.cell_row(int(cell_id)), grid.cell_col(int(cell_id))
+            out["media_ref"].append(f"tile://{image_id}/{role}/{band}/{cr}/{cc}")
+            out["image_id"].append(image_id)
+            out["role"].append(role)
+            out["band"].append(int(band))
+            out["cell_id"].append(int(cell_id))
+            out["row"].append(cr)
+            out["col"].append(cc)
+            out["h"].append(tile_px)
+            out["w"].append(tile_px)
+            out["transform"].append([px_out, 0.0, cc * cell_sz, 0.0, px_out, cr * cell_sz])
+            out["data"].append(encode_tile(vals))
+
+        for pdf in batches:
+            out = {f.name: [] for f in out_schema.fields}
+            for row in zip(pdf["image_id"], pdf["role"], pdf["band"], pdf["cell_id"],
+                           pdf["h"], pdf["w"], pdf["sum"], pdf["cnt"]):
+                key = (row[0], row[1], int(row[2]), int(row[3]))
+                s = decode_tile(row[6], row[4], row[5]).astype(np.float64)
+                n = decode_tile(row[7], row[4], row[5]).astype(np.float64)
+                if key != cur:
+                    if cur is not None:
+                        flush(out)
+                    cur, acc_sum, acc_cnt = key, s.copy(), n.copy()
+                else:
+                    acc_sum += s
+                    acc_cnt += n
+            if out["cell_id"]:
+                yield pd.DataFrame(out)
+        if cur is not None:
+            out = {f.name: [] for f in out_schema.fields}
+            flush(out)
+            yield pd.DataFrame(out)
+
+    keyed = frags.repartition("image_id", "role", "band", "cell_id") \
+                 .sortWithinPartitions("image_id", "role", "band", "cell_id")
+    return keyed.mapInPandas(mosaic, schema=out_schema)

@@ -1,0 +1,144 @@
+"""Regrid normalisation tests — the grad_45cm non-aligned-grid path
+(reference tests/conftest.py:176-218): arbitrary transforms resampled onto
+the canonical grid recover the closed-form gradient."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from homonim_spark import datagen, grid
+from homonim_spark.operators.ingest import bilinear_sample, regrid_tiles
+from homonim_spark.tiles import decode_tile, encode_tile
+
+RES = datagen.FIXTURE_RES
+TILE = 16
+CELL = grid.cell_size(RES)
+PX = CELL / TILE  # canonical pixel size
+
+
+def world_gradient(xs, ys):
+    """Closed-form continuous 'image': value = x + 2*y in world units (a
+    plane — bilinear resampling reproduces planes exactly away from edges)."""
+    return (xs / PX + 2 * (ys / PX)).astype(np.float32)
+
+
+def make_input_tile(image_id, role, band, px, origin_xy, h, w, rot=False):
+    """One input tile on an arbitrary (non-canonical) grid sampling the
+    world plane at its own pixel centers."""
+    ox, oy = origin_xy
+    cols = (np.arange(w) + 0.5) * px + ox
+    rows = (np.arange(h) + 0.5) * px + oy
+    X, Y = np.meshgrid(cols, rows)
+    arr = world_gradient(X, Y)
+    return {
+        "image_id": image_id, "role": role, "band": band,
+        "transform": [px, 0.0, ox, 0.0, px, oy],
+        "h": h, "w": w, "data": encode_tile(arr),
+    }
+
+
+def test_bilinear_sample_plane_exact():
+    arr = (np.arange(8)[:, None] * 2.0 + np.arange(8)[None, :]).astype(np.float32)
+    ys = np.array([[0.5, 3.25], [6.0, 0.0]])
+    xs = np.array([[0.5, 2.75], [1.5, 0.0]])
+    got = bilinear_sample(arr, ys, xs)
+    np.testing.assert_allclose(got, ys * 2 + xs, rtol=1e-6)
+    # out-of-bounds → NaN
+    assert np.isnan(bilinear_sample(arr, np.array([-1.0]), np.array([0.0]))[0])
+
+
+def test_regrid_shifted_finer_grid(spark):
+    """Input at 0.45× canonical pixel size, origin shifted by half an input
+    pixel (the grad_45cm construction): regridded canonical tiles must
+    reproduce the world plane at canonical pixel centers (bilinear of a
+    plane is exact in the interior)."""
+    px_in = 0.45 * PX
+    # cover canonical cells (0,0) and (0,1) fully, with margin
+    w = int((2.4 * CELL) / px_in)
+    h = int((1.4 * CELL) / px_in)
+    t = make_input_tile("rg", "src", 0, px_in, (-0.2 * CELL, -0.2 * CELL), h, w)
+    tiles = spark.createDataFrame(pd.DataFrame([t]))
+    out = regrid_tiles(tiles, RES, TILE).toPandas()
+    cells = {(r.row, r.col): r for r in out.itertuples(index=False)}
+    assert (0, 0) in cells and (0, 1) in cells
+    for (cr, cc) in [(0, 0), (0, 1)]:
+        r = cells[(cr, cc)]
+        arr = decode_tile(r.data, TILE, TILE)
+        gx = cc * CELL + (np.arange(TILE) + 0.5) * PX
+        gy = cr * CELL + (np.arange(TILE) + 0.5) * PX
+        X, Y = np.meshgrid(gx, gy)
+        want = world_gradient(X, Y)
+        mask = ~np.isnan(arr)
+        assert mask.mean() > 0.95
+        np.testing.assert_allclose(arr[mask], want[mask], rtol=1e-4)
+
+
+def test_regrid_mosaics_overlapping_tiles(spark):
+    """Two overlapping input tiles covering one cell: fragments average to
+    the same plane (mosaic correctness)."""
+    px_in = 0.8 * PX
+    t1 = make_input_tile("mo", "ref", 0, px_in, (-0.1 * CELL, -0.1 * CELL),
+                         int(0.8 * CELL / px_in), int(1.4 * CELL / px_in))
+    t2 = make_input_tile("mo", "ref", 0, px_in, (-0.1 * CELL, 0.4 * CELL),
+                         int(0.8 * CELL / px_in), int(1.4 * CELL / px_in))
+    tiles = spark.createDataFrame(pd.DataFrame([t1, t2]))
+    out = regrid_tiles(tiles, RES, TILE).toPandas()
+    row = out[(out.row == 0) & (out.col == 0)].iloc[0]
+    arr = decode_tile(row.data, TILE, TILE)
+    gx = (np.arange(TILE) + 0.5) * PX
+    X, Y = np.meshgrid(gx, gx)
+    want = world_gradient(X, Y)
+    mask = ~np.isnan(arr)
+    assert mask.mean() > 0.9
+    np.testing.assert_allclose(arr[mask], want[mask], rtol=1e-4)
+
+
+def test_regrid_feeds_fuse(spark):
+    """End-to-end: non-aligned src + aligned ref → regrid → fuse recovers
+    the relation (the reference's mixed-grid fuse cases,
+    tests/test_fuse_api.py:82-114)."""
+    from homonim_spark.operators import fuse as fuse_ops
+
+    # aligned ref directly on the canonical grid, src on a 0.45x shifted grid
+    px_in = 0.45 * PX
+    w = int((2.4 * CELL) / px_in)
+    h = int((2.4 * CELL) / px_in)
+    src_in = make_input_tile("rf", "src", 0, px_in, (-0.2 * CELL, -0.2 * CELL), h, w)
+    tiles_src = regrid_tiles(spark.createDataFrame(pd.DataFrame([src_in])), RES, TILE)
+
+    ref_rows = []
+    for cr in range(2):
+        for cc in range(2):
+            gx = cc * CELL + (np.arange(TILE) + 0.5) * PX
+            gy = cr * CELL + (np.arange(TILE) + 0.5) * PX
+            X, Y = np.meshgrid(gx, gy)
+            arr = (world_gradient(X, Y) * 2 + 5).astype(np.float32)  # ref = 2*src + 5
+            ref_rows.append({
+                "media_ref": f"tile://rf/ref/0/{cr}/{cc}", "image_id": "rf",
+                "role": "ref", "band": 0, "cell_id": grid.cell_id(RES, cr, cc),
+                "row": cr, "col": cc, "h": TILE, "w": TILE,
+                "transform": [PX, 0.0, cc * CELL, 0.0, PX, cr * CELL],
+                "data": encode_tile(arr),
+            })
+    ref_df = spark.createDataFrame(pd.DataFrame(ref_rows), schema=datagen.TILES_SCHEMA)
+    tiles = tiles_src.select(*[f.name for f in datagen.TILES_SCHEMA.fields]).unionByName(ref_df)
+
+    spans = []
+    for i, r in enumerate(tiles.select("media_ref").toPandas()["media_ref"]):
+        spans.append({"kind": "media", "text": "", "media_ref": r, "offset": i})
+    docs = spark.createDataFrame(pd.DataFrame([{"doc_id": "d0", "spans": spans}]),
+                                 schema=datagen.DOCUMENTS_SCHEMA)
+
+    fused = fuse_ops.fuse(docs, tiles, model="gain-offset", kernel_shape=(5, 5),
+                          r2_inpaint_thresh=None).toPandas()
+    # the regridded src covers cells beyond the 2x2 ref extent; only the
+    # ref-covered cells carry valid params
+    fused = fused[fused.n_valid > 0]
+    assert len(fused) == 4
+    for r in fused.itertuples(index=False):
+        g = decode_tile(r.gain, TILE, TILE)
+        o = decode_tile(r.offset, TILE, TILE)
+        m = ~np.isnan(g)
+        assert m.any()
+        np.testing.assert_allclose(g[m], 2.0, atol=2e-2)
+        np.testing.assert_allclose(o[m], 5.0, atol=0.5)
