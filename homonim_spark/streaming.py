@@ -70,6 +70,38 @@ def incremental_media_refs(
     )
 
 
+def incremental_fuse(
+    docs_stream: DataFrame,
+    tiles: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    **fuse_kwargs,
+) -> StreamingQuery:
+    """Incremental fuse: each micro-batch of newly-arrived documents runs
+    through the full batch fuse pipeline (``foreachBatch`` — the standard
+    pattern for reusing a batch dataflow incrementally), appending corrected
+    tiles exactly once.  Restart resumes from the checkpoint; an already
+    processed document file is never re-corrected.
+
+    ``tiles`` is the static payload table (at scale: the Iceberg tile
+    table); only the arriving documents are streaming.
+    """
+    from homonim_spark.operators.fuse import fuse
+
+    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        if batch_docs.isEmpty():
+            return
+        fused = fuse(batch_docs, tiles, **fuse_kwargs)
+        fused.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_stats(
     events_stream: DataFrame,
     window: str = "1 minute",

@@ -65,6 +65,45 @@ def test_streaming_incremental_media_refs(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == want
 
 
+def test_incremental_fuse_exactly_once(spark, tmp_path):
+    """Streaming fuse: new document files are corrected exactly once;
+    restart with no new input appends nothing."""
+    from homonim_spark.streaming import incremental_fuse, read_document_stream
+    spec = datagen.RasterFixtureSpec(pair_id="inc", cells=(2, 2), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    tiles = tiles.cache(); tiles.count()
+    in_dir = str(tmp_path / "in"); out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(in_dir)
+
+    q = incremental_fuse(read_document_stream(spark, in_dir), tiles, out_dir, ckpt,
+                         model="gain", kernel_shape=(3, 3))
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 4
+
+    # restart: no new files → nothing reprocessed
+    q2 = incremental_fuse(read_document_stream(spark, in_dir), tiles, out_dir, ckpt,
+                          model="gain", kernel_shape=(3, 3))
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # new documents arrive → only they are processed
+    spec2 = datagen.RasterFixtureSpec(pair_id="inc2", cells=(2, 2), tile=16,
+                                      factor=2, origin=(8, 8))
+    docs2_pdf, tiles2_pdf = datagen.build_pair_tables(spec2)
+    docs2, tiles2 = datagen.to_spark(spark, docs2_pdf, tiles2_pdf)
+    all_tiles = tiles.unionByName(tiles2).cache()
+    docs2.write.mode("append").parquet(in_dir)
+    q3 = incremental_fuse(read_document_stream(spark, in_dir), all_tiles, out_dir, ckpt,
+                          model="gain", kernel_shape=(3, 3))
+    q3.awaitTermination(180)
+    out = spark.read.parquet(out_dir).toPandas()
+    assert len(out) == 8
+    assert (out["image_id"] == "inc2").sum() == 4  # only the new pair was fused
+
+
 def test_windowed_event_stats_plan(spark):
     """Watermarked windowed agg builds a valid streaming plan (executed via
     a memory-rate source would need wall-clock; plan validation suffices)."""
