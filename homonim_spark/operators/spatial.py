@@ -50,8 +50,11 @@ def salted_join(
     operator is the deterministic, planner-independent variant the
     north_rule asks to handle explicitly.)
     """
-    salt_src = [F.col(c) for c in on] + [F.lit("s")]
-    big_s = big.withColumn("_salt", F.pmod(F.hash(*salt_src, F.monotonically_increasing_id()), F.lit(n_salt)))
+    # deterministic salt: hash of the row's full content (identical rows
+    # share a salt — acceptable; runs are reproducible, unlike
+    # monotonically_increasing_id which depends on partition layout)
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salt)))
     small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     out = big_s.join(small_s, on + ["_salt"], how)
     return out.drop("_salt")
@@ -162,6 +165,8 @@ def knn_ref_tiles(
     is farther than ``max_ring`` are dropped (callers widen ``max_ring`` —
     doubling it quadruples candidate volume, so widen geometrically).
     """
+    part_cols = list(src_cells.columns)  # rank within EACH src row's full
+    # key — two bands/images sharing a cell_id must rank independently
     row_s, col_s = grid.cell_row_col_expr(F.col("cell_id"))
     src = src_cells.withColumn("_srow", row_s).withColumn("_scol", col_s)
     cand = src.withColumn(
@@ -174,7 +179,7 @@ def knn_ref_tiles(
         "ring_dist",
         F.greatest(F.abs(row_r - F.col("_srow")), F.abs(col_r - F.col("_scol"))),
     )
-    w = Window.partitionBy("cell_id").orderBy("ring_dist", "_nbr")
+    w = Window.partitionBy(*part_cols).orderBy("ring_dist", "_nbr")
     out = (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)

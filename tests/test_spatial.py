@@ -105,6 +105,23 @@ def test_knn_ring_distances(spark):
     assert g.loc[(c55, 1), "ring_dist"] == 0
 
 
+def test_knn_ranks_per_band_independently(spark):
+    """Regression: two bands missing the SAME cell must each get their own
+    k nearest donors (the rank window partitions on the full src key)."""
+    src = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["p", "p"], "band": [0, 1],
+        "cell_id": [grid.cell_id(10, 0, 0)] * 2}))
+    ref = spark.createDataFrame(pd.DataFrame({
+        "cell_id": [grid.cell_id(10, 0, 1), grid.cell_id(10, 2, 2)]}))
+    out = knn_ref_tiles(src, ref, k=2, max_ring=3).toPandas()
+    # each (band) row gets BOTH donors at ranks 1 and 2
+    assert len(out) == 4
+    for band in (0, 1):
+        sub = out[out.band == band].sort_values("knn_rank")
+        assert list(sub["knn_rank"]) == [1, 2]
+        assert sub.iloc[0]["ref_cell_id"] == grid.cell_id(10, 0, 1)
+
+
 # --- salted join -------------------------------------------------------------
 
 def test_salted_join_equals_plain_join(spark):
