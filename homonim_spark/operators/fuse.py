@@ -10,11 +10,12 @@ Spark-native re-expression:
     span structure                 tile payloads
                                         │ (src tiles block-mean → proc grid)
                                         ▼
-                     chunk+halo explode (tiles land in their chunk's
-                     canvas; border strips go to neighbor chunks)
+                     chunk+halo routing (JVM Column routing of whole tiles,
+                     or Arrow strip slicing — both border-exact)
                                         │ ONE shuffle on (image_id, band, chunk)
                                         ▼
-             groupBy chunk ► applyInPandas(assemble canvas + fit + apply)
+        repartition+sort ► mapInPandas streaming groups
+                     (assemble canvas + fit + apply, per-batch Arrow)
                                         │
                       corrected tiles + parameter tiles
                                         │ join back on media_ref

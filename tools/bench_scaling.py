@@ -15,7 +15,7 @@ import subprocess
 import sys
 import os
 
-PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 TILE = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
 RUN_SNIPPET = r"""
@@ -51,9 +51,12 @@ spark.stop()
 
 
 def run_level(cpus: int) -> dict:
+    # generous heap: the 65k-tile input caches ~10.5GB; an undersized heap
+    # turns the 32-core level into a GC benchmark (measured 3x slowdown)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="80g")
     out = subprocess.run(
         [sys.executable, "-c", RUN_SNIPPET, str(cpus), str(PAIRS), str(TILE)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
