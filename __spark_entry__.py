@@ -552,6 +552,41 @@ FROM toks ORDER BY doc_id
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary pass: top-50 words by document frequency."""
+    from homonim_spark.operators.textops import vocabulary_stats
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_stats(docs, top_k=50)
+
+
+ORACLE_VOCAB_TOPK = r"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split_regex(
+    TRIM(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')), '\s+')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM words WHERE LENGTH(word) > 0
+GROUP BY word ORDER BY df DESC, tf DESC, word ASC LIMIT 50
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution (100-char bins)."""
+    from homonim_spark.operators.textops import length_histogram
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs, bucket=100)
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT CAST(FLOOR(LENGTH(text) / 100) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY bucket
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups over all docs (md5 is bit-identical in DuckDB)."""
     from homonim_spark.operators.textops import fingerprint
@@ -783,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         # text / dedup / similarity (DuckDB-checked)
         "text_profile": q_text_profile,
+        "vocab_topk": q_vocab_topk,
+        "length_histogram": q_length_histogram,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
@@ -818,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
         "anti_semi_join": ORACLE_ANTI_SEMI_JOIN,
         "skew_report": ORACLE_SKEW_REPORT,
         "text_profile": ORACLE_TEXT_PROFILE,
+        "vocab_topk": ORACLE_VOCAB_TOPK,
+        "length_histogram": ORACLE_LENGTH_HISTOGRAM,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,

@@ -134,6 +134,100 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a deterministic sample.
+
+    The sample is tiny (metadata-scale) so Lloyd iterations run as driver
+    numpy — the expensive part (corpus assignment) stays distributed in
+    :func:`ivf_topk`. Deterministic: seeded init, fixed iteration count,
+    ties to the lower centroid id.
+    """
+    pdf = (corpus.select(vec_col).orderBy(F.crc32(F.col(vec_col).cast("string")))
+           .limit(sample).toPandas())
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for k in range(len(C)):
+            m = assign == k
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[k] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    (inverted file); each query probes its ``nprobe`` nearest lists and
+    reranks exactly within them.
+
+    At 100 TB the inverted file is the partition layout: candidate volume
+    is corpus/n_centroids·nprobe per query instead of the full corpus.
+    Centroids are plan literals (JVM-side argmax — no Python at scan time).
+    """
+    def nearest_centroid(vec: Column) -> Column:
+        best_sim = F.lit(-2.0)
+        best_id = F.lit(0)
+        for i, cvec in enumerate(centroids):
+            plane = F.array(*[F.lit(float(x)) for x in cvec])
+            sim = cosine_similarity(vec, plane)
+            cond = sim > best_sim
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+        return best_id
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        nearest_centroid(F.col(vec_col)).alias("list_id"),
+    )
+    # queries probe their nprobe nearest lists
+    def probe_lists(vec: Column) -> Column:
+        sims = F.array(*[
+            F.struct(cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                     F.lit(i).alias("i"))
+            for i, cvec in enumerate(centroids)
+        ])
+        ranked = F.reverse(F.array_sort(sims))
+        return F.transform(F.slice(ranked, 1, nprobe), lambda st: st["i"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

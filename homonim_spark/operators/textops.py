@@ -110,6 +110,36 @@ def span_text_profile(documents: DataFrame) -> DataFrame:
     return text_profile(flat).join(flat.select("doc_id", "n_media_spans"), "doc_id")
 
 
+def vocabulary_stats(documents: DataFrame, text_col: str = "text",
+                     top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k words by document frequency with total
+    term frequency — one explode + one groupBy (classic training-pipeline
+    vocabulary pass; partial aggregation handles the heavy tail)."""
+    words = documents.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("word"))
+        .limit(top_k)
+    )
+
+
+def length_histogram(documents: DataFrame, text_col: str = "text",
+                     bucket: int = 100) -> DataFrame:
+    """Document-length distribution: counts per ``bucket``-char bin — the
+    standard corpus-curation length filter input."""
+    b = F.floor(F.length(F.col(text_col)) / bucket).cast("long")
+    return (
+        documents.groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length(F.col(text_col))).alias("total_chars"))
+        .orderBy("bucket")
+    )
+
+
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with the full text-analysis feature set."""
     c = F.col(text_col)

@@ -71,6 +71,29 @@ def test_simhash_near_duplicates(spark, docs):
     assert all("d4" not in p[0] + p[1] for p in pairs)
 
 
+def test_vocabulary_and_length_histogram(spark, docs):
+    vocab = textops.vocabulary_stats(docs, top_k=5).toPandas()
+    top = vocab.iloc[0]
+    assert top["word"] == "the"      # appears in d0..d3 (df=4, tf=8)
+    assert top["df"] == 4 and top["tf"] == 8
+    hist = textops.length_histogram(docs, bucket=10).toPandas()
+    assert hist["n_docs"].sum() == 6
+    assert hist[hist.bucket == 0]["n_docs"].iloc[0] >= 1  # the empty doc
+
+
+def test_ivf_topk_recalls_near_duplicate(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    vecs = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"])).cache()
+    C = similarity.train_ivf_centroids(vecs, n_centroids=4, iters=3)
+    assert C.shape == (4, 16)
+    out = similarity.ivf_topk(vecs, vecs.filter(F.col("vec_id") == 0), C,
+                              k=1, nprobe=2).toPandas()
+    assert list(out["neighbor_id"]) == [1]  # the planted near-dup is found
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)
