@@ -22,16 +22,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: cells per band for the fuse benchmark (pairs × 16 cells each)
-FUSE_SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "192"))
+FUSE_SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_FUSE_PAIRS", "512"))
 FUSE_TILE = int(os.environ.get("SPARK_GRAFT_FUSE_TILE", "64"))
 
 
 def build_raster_bench_input(spark):
+    from pyspark.sql import functions as F
     from homonim_spark import datagen
-    specs = datagen.default_specs(scale=FUSE_SCALE_PAIRS, bands=1, tile=FUSE_TILE)
-    docs_pdf, tiles_pdf = datagen.build_fixture_tables(specs)
-    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
-    return docs.cache(), tiles.cache(), len(tiles_pdf[tiles_pdf.role == "src"])
+    # executors synthesize tiles closed-form — no driver bottleneck
+    docs, tiles = datagen.distributed_fixture(
+        spark, n_pairs=FUSE_SCALE_PAIRS, tile=FUSE_TILE,
+        partitions=4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    docs, tiles = docs.cache(), tiles.cache()
+    n_src = tiles.filter(F.col("role") == "src").count()
+    return docs, tiles, n_src
 
 
 def main() -> None:
@@ -42,7 +46,9 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark(app_name="homonim-spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=4 * int(cpus),
+                      extra_conf={"spark.driver.memory":
+                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
