@@ -218,6 +218,55 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + agg — everything reaches the scan
+    (predicate pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+                  & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + deterministic top-10."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy(F.col("l_orderkey").cast("long").alias("orderkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey ORDER BY revenue DESC, orderkey ASC LIMIT 10
+"""
+
+
 def q_band_match_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 analogue: ranking join by distance — per customer nation, rank
     suppliers by |acctbal difference| to the nation's mean customer balance
@@ -807,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_mean": q_rollup_mean,
         "data_window": q_data_window,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "band_match_rank": q_band_match_rank,
         "topk_orders": q_topk_orders,
         "join_pushdown": q_join_pushdown,
@@ -845,6 +896,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_mean": ORACLE_ROLLUP_MEAN,
         "data_window": ORACLE_DATA_WINDOW,
         "tpch_q1": ORACLE_TPCH_Q1,
+        "tpch_q3": ORACLE_TPCH_Q3,
+        "tpch_q6": ORACLE_TPCH_Q6,
         "band_match_rank": ORACLE_BAND_MATCH_RANK,
         "topk_orders": ORACLE_TOPK_ORDERS,
         "join_pushdown": ORACLE_JOIN_PUSHDOWN,

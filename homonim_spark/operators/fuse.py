@@ -124,6 +124,17 @@ def infer_fuse_config(tiles: DataFrame, params: KernelModelParams,
         raise ImageContentError("no reference tiles found")
     if src_h % ref_h != 0:
         raise ImageContentError(f"src tile {src_h} not an integer multiple of ref tile {ref_h}")
+    # halo correctness bound: both halo strategies exchange data with the
+    # 1-ring of neighbor tiles/chunks only, so the overlap must fit inside
+    # one tile (the reference's block > overlap assertion,
+    # raster_pair.py:254-255,364-365)
+    oh, ow = overlap_for_kernel(params.kernel_shape)
+    if oh > ref_h or ow > ref_h:
+        from homonim_spark.enums import ConfigError
+        raise ConfigError(
+            f"kernel {params.kernel_shape} needs a {max(oh, ow)}px halo, larger "
+            f"than the {ref_h}px tile — use larger tiles (or a coarser proc grid)"
+        )
     return FuseConfig(tile=ref_h, factor=src_h // ref_h, params=params,
                       proc_crs=ProcCrs(proc_crs), chunk=chunk)
 

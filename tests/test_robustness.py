@@ -74,6 +74,20 @@ def test_docs_referencing_missing_tiles(spark):
     assert 0 <= out.count() <= 4
 
 
+def test_kernel_halo_exceeding_tile_rejected(spark):
+    """A kernel whose ceil(k/2) halo exceeds the tile size would silently
+    lose neighbor data (only the 1-ring is exchanged) — must be rejected
+    (the reference's block>overlap assertion, raster_pair.py:364-365)."""
+    from homonim_spark.enums import ConfigError
+    spec = datagen.RasterFixtureSpec(pair_id="hk", cells=(2, 2), tile=8, factor=1)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    with pytest.raises(ConfigError, match="halo"):
+        fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(31, 31))
+    # k=15 → halo 8 == tile 8: allowed (boundary)
+    assert fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(15, 15)).count() == 4
+
+
 # --- randomized property checks ---------------------------------------------
 
 @settings(max_examples=15, deadline=None)
