@@ -102,6 +102,78 @@ def incremental_fuse(
     )
 
 
+def stateful_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    state_timeout_ms: int = 3600_000,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session aggregation with
+    ``applyInPandasWithState`` — sessions close after ``gap_seconds`` of
+    inactivity; state is (session start, last ts, count, value sum) per
+    user, emitted when the gap passes or the state times out.
+
+    The streaming twin of the batch ``sessionize`` query (lag windows);
+    state is bounded per key and expires via processing-time timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start", T.TimestampType()),
+        T.StructField("sess_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sess_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        start_us = last_us = None
+        n = 0
+        vsum = 0.0
+        if state.exists:
+            start_us, last_us, n, vsum = state.get
+        if state.hasTimedOut:
+            if n:
+                rows.append((user_id, pd.Timestamp(start_us, unit="us"),
+                             pd.Timestamp(last_us, unit="us"), n, vsum))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    us = int(pd.Timestamp(ts).value // 1000)
+                    if last_us is not None and us - last_us > gap_seconds * 1_000_000:
+                        rows.append((user_id, pd.Timestamp(start_us, unit="us"),
+                                     pd.Timestamp(last_us, unit="us"), n, vsum))
+                        start_us, n, vsum = us, 0, 0.0
+                    if start_us is None:
+                        start_us = us
+                    last_us = us
+                    n += 1
+                    vsum += float(value)
+            state.update((start_us, last_us, n, vsum))
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=["user_id", "sess_start", "sess_end",
+                                          "n_events", "sess_value"])
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append", timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_event_stats(
     events_stream: DataFrame,
     window: str = "1 minute",

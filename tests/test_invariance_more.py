@@ -52,6 +52,38 @@ def test_media_payload_dedup(spark):
     assert (groups["n"] == 2).all()
 
 
+def test_stateful_sessionize_executes(spark, tmp_path):
+    """applyInPandasWithState sessionization over a file stream: sessions
+    split on the inactivity gap and match the batch lag-window answer."""
+    from homonim_spark.streaming import stateful_sessionize
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # user 1: two sessions separated by 1 hour; user 2: one session
+    for i in range(5):
+        rows.append({"ts": base + pd.Timedelta(seconds=60 * i), "user_id": 1,
+                     "value": 1.0})
+    for i in range(3):
+        rows.append({"ts": base + pd.Timedelta(hours=2, seconds=60 * i), "user_id": 1,
+                     "value": 2.0})
+    rows.append({"ts": base, "user_id": 2, "value": 5.0})
+    in_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(in_dir)
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long, value double").parquet(in_dir))
+    out = stateful_sessionize(stream, gap_seconds=1800)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sessions").option("checkpointLocation", str(tmp_path / "sck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("select * from sessions").toPandas()
+    # the gap-closed session for user 1 is emitted; open sessions stay in
+    # state (would emit on timeout in a long-running stream)
+    closed = res[(res.user_id == 1)]
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_events"] == 5
+    assert closed.iloc[0]["sess_value"] == pytest.approx(5.0)
+
+
 def test_windowed_event_stats_executes(spark, tmp_path):
     """Watermarked sliding-window aggregation actually executes over a file
     stream (availableNow) and produces the right per-window counts."""
