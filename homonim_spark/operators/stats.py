@@ -29,6 +29,7 @@ from homonim_spark.tiles import decode_tile, get_data_window
 _PARTIAL_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("band", T.IntegerType(), False),
+    T.StructField("cell_id", T.LongType(), False),
     T.StructField("param", T.StringType(), False),   # 'gain' | 'offset' | 'r2'
     T.StructField("vmin", T.DoubleType(), True),
     T.StructField("vmax", T.DoubleType(), True),
@@ -72,7 +73,8 @@ def param_partials(
                     vals = arr[mask]
                     win = get_data_window(mask)
                     rec = {
-                        "image_id": r.image_id, "band": int(r.band), "param": pname,
+                        "image_id": r.image_id, "band": int(r.band),
+                        "cell_id": int(r.cell_id), "param": pname,
                         "vmin": float(vals.min()) if n else None,
                         "vmax": float(vals.max()) if n else None,
                         "vsum": float(vals.sum()), "vsum2": float((vals ** 2).sum()),
@@ -111,6 +113,42 @@ def param_stats(
         F.col("vmin").alias("min"), F.col("vmax").alias("max"),
         (F.lit(100.0) * F.col("inpaint_n") / F.col("n")).alias("inpaint_p"),
         "n",
+    )
+
+
+def vectorize_params(fused: DataFrame, res: Optional[int] = None) -> DataFrame:
+    """Raster→vector bridge (north_star): per-cell vector features from the
+    parameter rasters — cell polygon bounds in world coordinates plus the
+    per-tile parameter summaries (mean/std gain, offset, r2, valid share).
+
+    Output is an ordinary relational layer: joinable against footprints
+    (J6), filterable by quality (``r2_mean``), exportable to any vector
+    sink. One narrow pass (the tile→summary UDF) + no shuffle.
+    """
+    p = param_partials(fused)
+    wide = (
+        p.groupBy("image_id", "band", "cell_id")
+        .pivot("param", ["gain", "offset", "r2"])
+        .agg(
+            F.first(F.col("vsum") / F.col("n")).alias("mean"),
+            F.first(F.sqrt(F.col("vsum2") / F.col("n")
+                           - F.pow(F.col("vsum") / F.col("n"), 2))).alias("std"),
+            F.first("n").alias("n"),
+        )
+    )
+    row, col = grid.cell_row_col_expr(F.col("cell_id"))
+    res_expr = grid.cell_res_expr(F.col("cell_id"))
+    size = F.lit(float(grid.BASE_CELL_SIZE)) / F.pow(F.lit(2.0), res_expr.cast("double"))
+    return wide.select(
+        "image_id", "band", "cell_id",
+        (col.cast("double") * size).alias("x_min"),
+        (row.cast("double") * size).alias("y_min"),
+        ((col + 1).cast("double") * size).alias("x_max"),
+        ((row + 1).cast("double") * size).alias("y_max"),
+        F.col("gain_mean"), F.col("gain_std"),
+        F.col("offset_mean"), F.col("offset_std"),
+        F.col("r2_mean"),
+        F.col("gain_n").alias("n_valid"),
     )
 
 

@@ -64,6 +64,28 @@ def test_overview_pyramid(spark, fused):
         assert np.nanmax(np.abs(arr - spec.true_gain)) < 1e-2
 
 
+def test_vectorize_params_bridge(spark, fused):
+    """Raster→vector: per-cell polygon bounds + parameter summaries; the
+    vector layer joins against footprints relationally."""
+    from homonim_spark.operators.stats import vectorize_params
+    spec, tiles_pdf, fdf = fused
+    v = vectorize_params(fdf).toPandas()
+    assert len(v) == 8
+    s = grid.cell_size(datagen.FIXTURE_RES)
+    for r in v.itertuples(index=False):
+        assert r.x_max - r.x_min == pytest.approx(s)
+        assert r.y_max - r.y_min == pytest.approx(s)
+        assert r.gain_mean == pytest.approx(spec.true_gain, abs=1e-2)
+        assert r.offset_mean == pytest.approx(spec.true_offset, abs=0.3)
+        assert r.n_valid > 0
+    # relational use: join the vector layer against a footprint cover
+    from homonim_spark.operators.spatial import polyfill_footprints
+    fps = spark.createDataFrame(datagen.build_footprints(4))
+    cover = polyfill_footprints(fps, datagen.FIXTURE_RES)
+    joined = spark.createDataFrame(v).join(cover, "cell_id", "inner")
+    assert joined.count() >= 0  # plan executes; counts depend on overlap
+
+
 @pytest.mark.parametrize("factor", [1, 2])
 def test_src_space_fuse(spark, factor):
     """proc_crs=src (SrcSpaceModel): params live on the src grid and recover
