@@ -825,6 +825,16 @@ def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("footprint_id"))
 
 
+def q_vectorize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector bridge: per-cell polygon bounds + parameter summaries
+    (rows-only; numerics covered in tests)."""
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.stats import vectorize_params
+    docs, tiles = _raster_spark(spark)
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+    return vectorize_params(fused).orderBy("image_id", "band", "cell_id")
+
+
 def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: kNN reference cells for source cells after deterministically
     deleting every 3rd reference cell (FIXTURES.md §3)."""
@@ -884,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "span_text_profile": q_span_text_profile,
         "media_features": q_media_features,
+        "vectorize_params": q_vectorize_params,
         "pip_assign": q_pip_assign,
         "knn_cells": q_knn_cells,
     }

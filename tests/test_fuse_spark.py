@@ -145,6 +145,27 @@ def test_halo_modes_agree(spark, fixture_tables, model, partial):
             assert x == y
 
 
+def test_join_output_rows_and_assignments_exact(spark, fixture_tables):
+    """north_rule: join output rows and tile assignments match the
+    reference's block pairing exactly — for the gridded fixture, the
+    src↔ref pairing must produce exactly one pair per (band, cell) of the
+    image, each tile assigned to its own cell, nothing else."""
+    spec, docs_pdf, tiles_pdf, docs, tiles = fixture_tables
+    from homonim_spark.operators.compare import tile_pair_join
+    pairs = tile_pair_join(tiles).select("image_id", "band", "cell_id").toPandas()
+    from homonim_spark import grid, datagen
+    want = {(spec.pair_id, b, grid.cell_id(datagen.FIXTURE_RES,
+                                           spec.origin[0] + r, spec.origin[1] + c))
+            for b in range(spec.bands)
+            for r in range(spec.cells[0]) for c in range(spec.cells[1])}
+    got = set(map(tuple, pairs.values.tolist()))
+    assert got == want
+    # and the fused output covers exactly the same assignment set
+    fused = fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(1, 1)) \
+        .select("image_id", "band", "cell_id").toPandas()
+    assert set(map(tuple, fused.values.tolist())) == want
+
+
 def test_compare_identical_images(spark):
     """compare(identical src/ref): r²=1, RMSE=0, rRMSE=0 per band + Mean row
     (reference tests/test_compare.py:35-52,159-163)."""
