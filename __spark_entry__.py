@@ -792,6 +792,32 @@ def _fuse_query(model: str, kernel):
     return run
 
 
+def q_fuse_rgb_band_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-band fuse with wavelength band matching: reference bands stored in
+    reverse spectral order are re-keyed via the greedy wavelength match
+    (J2-J4) before pairing; per-band param stats returned (rows-only)."""
+    import pandas as pd
+    from homonim_spark import datagen
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.matching import match_bands
+    from homonim_spark.operators.stats import param_stats
+
+    spec = datagen.RasterFixtureSpec(pair_id="rgb", cells=(4, 4), tile=16,
+                                     factor=2, bands=3)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    t = tiles_pdf.copy()
+    is_ref = t.role == "ref"
+    t.loc[is_ref, "band"] = 2 - t.loc[is_ref, "band"]  # stored in reverse
+    docs, tiles = datagen.to_spark(spark, docs_pdf, t)
+    bm = match_bands(
+        pd.DataFrame({"band": [0, 1, 2], "center_wavelength": [0.65, 0.56, 0.48]}),
+        pd.DataFrame({"band": [0, 1, 2], "center_wavelength": [0.48, 0.56, 0.65]}),
+    )
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 band_map=bm)
+    return param_stats(fused).orderBy("image_id", "band", "param")
+
+
 def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homonim_spark.operators.compare import compare_with_mean
     docs, tiles = _raster_spark(spark)
@@ -890,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_gain": _fuse_query("gain", (5, 5)),
         "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
+        "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
         "raster_compare": q_raster_compare,
         "span_roundtrip": q_span_roundtrip,
         "span_text_profile": q_span_text_profile,
