@@ -32,6 +32,11 @@ class KernelModelParams:
     find_r2: bool = False
     r2_inpaint_thresh: Optional[float] = 0.25
     mask_partial: bool = False
+    #: sigma-clipped masking (north_star; no reference analogue): pixels
+    #: whose residual against the fitted model exceeds this many block-level
+    #: standard deviations are masked and the model refit. None = off.
+    sigma_clip: Optional[float] = None
+    sigma_clip_iters: int = 2
 
     def __post_init__(self):
         kh, kw = self.kernel_shape
@@ -241,19 +246,46 @@ def fit_model(
     reference mutates callers' arrays; the engine keeps UDF inputs immutable)."""
     if src.shape != ref.shape:
         raise ValueError("'ref' and 'src' must have the same shape")
-    src = src.astype(np.float32, copy=True)
-    ref = ref.astype(np.float32, copy=True)
     model = Model(params.model)
-    # masked divides (np.divide(..., where=mask)) touch invalid lanes by
-    # design, exactly like the reference — suppress the spurious warnings
-    with np.errstate(divide="ignore", invalid="ignore"):
-        if model == Model.gain:
-            return fit_gain(src, ref, params.kernel_shape, params.find_r2)
-        if model == Model.gain_blk_offset:
-            return fit_gain_blk_offset(src, ref, params.kernel_shape, params.find_r2)
-        return fit_gain_offset(
-            src, ref, params.kernel_shape, params.find_r2, params.r2_inpaint_thresh
-        )
+
+    def fit_once(s: NDArray, r: NDArray) -> NDArray:
+        s = s.astype(np.float32, copy=True)
+        r = r.astype(np.float32, copy=True)
+        # masked divides (np.divide(..., where=mask)) touch invalid lanes by
+        # design, exactly like the reference — suppress spurious warnings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if model == Model.gain:
+                return fit_gain(s, r, params.kernel_shape, params.find_r2)
+            if model == Model.gain_blk_offset:
+                return fit_gain_blk_offset(s, r, params.kernel_shape, params.find_r2)
+            return fit_gain_offset(
+                s, r, params.kernel_shape, params.find_r2, params.r2_inpaint_thresh
+            )
+
+    param = fit_once(src, ref)
+    if params.sigma_clip is not None:
+        # sigma-clipped masking (north_star): iteratively reject pixels whose
+        # residual against the current local model exceeds k·σ (σ over the
+        # block's valid residuals), refit without them. Rejected pixels stay
+        # masked in the parameter planes.
+        src_c = src.astype(np.float32, copy=True)
+        ref_c = ref.astype(np.float32, copy=True)
+        for _ in range(max(1, params.sigma_clip_iters)):
+            with np.errstate(invalid="ignore"):
+                resid = ref_c - (param[0] * src_c + param[1])
+            valid = ~np.isnan(resid)
+            if not valid.any():
+                break
+            sigma = float(np.std(resid[valid]))
+            if sigma <= 0:
+                break
+            clip = valid & (np.abs(resid) > params.sigma_clip * sigma)
+            if not clip.any():
+                break
+            src_c[clip] = np.nan
+            ref_c[clip] = np.nan
+            param = fit_once(src_c, ref_c)
+    return param
 
 
 def apply_model(src: NDArray, param: NDArray) -> NDArray:

@@ -708,6 +708,7 @@ def fuse(
     halo_mode: str = "routed",
     band_map=None,
     knn_fallback_ring: int = 0,
+    sigma_clip: Optional[float] = None,
 ) -> DataFrame:
     """Run the full fuse pipeline; returns the fused-tile DataFrame
     (corrected src tiles + gain/offset/r2 parameter tiles per cell).
@@ -730,6 +731,7 @@ def fuse(
     params = KernelModelParams(
         model=Model(model), kernel_shape=tuple(kernel_shape), find_r2=find_r2,
         r2_inpaint_thresh=r2_inpaint_thresh, mask_partial=mask_partial,
+        sigma_clip=sigma_clip,
     )
     cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs), chunk=chunk)
     used = referenced_tiles(documents, tiles)

@@ -130,6 +130,45 @@ def test_outlier_r2_and_inpainting(kernel):
     assert inpaint[0][ip_mask].var() < no_inpaint[0][ni_mask].var()
 
 
+def test_sigma_clip_rejects_outlier():
+    """Sigma-clipped masking (north_star): a planted source outlier is
+    rejected from the fit — params near the outlier recover the clean
+    relation, and the clipped pixel's parameters are masked."""
+    src = gradient(30, 30, border=1)
+    ref = (src * 2.0).astype(np.float32)
+    loc = (15, 15)
+    src_bad = src.copy()
+    src_bad[loc] = src[loc] + 500.0  # leverage outlier in x
+
+    no_clip = fit_model(src_bad, ref, KernelModelParams(
+        model=Model.gain, kernel_shape=(5, 5), r2_inpaint_thresh=None))
+    clipped = fit_model(src_bad, ref, KernelModelParams(
+        model=Model.gain, kernel_shape=(5, 5), r2_inpaint_thresh=None,
+        sigma_clip=3.0))
+
+    region = (slice(13, 18), slice(13, 18))
+    # unclipped gains are badly distorted near the outlier
+    assert np.nanmax(np.abs(no_clip[0][region] - 2.0)) > 0.1
+    # clipped: the outlier pixel is masked out, surrounding gains recover
+    assert np.isnan(clipped[0][loc])
+    good = ~np.isnan(clipped[0][region])
+    np.testing.assert_allclose(clipped[0][region][good], 2.0, atol=1e-2)
+
+
+def test_sigma_clip_noop_on_clean_data():
+    src = gradient()
+    ref = (src * 1.5).astype(np.float32)
+    a = fit_model(src, ref, KernelModelParams(model=Model.gain, kernel_shape=(5, 5),
+                                              r2_inpaint_thresh=None))
+    b = fit_model(src, ref, KernelModelParams(model=Model.gain, kernel_shape=(5, 5),
+                                              r2_inpaint_thresh=None, sigma_clip=3.0))
+    # residuals of a perfect relation are ~0 with tiny float noise; clipping
+    # at 3 sigma of that noise may mask a few pixels but must not distort
+    # surviving parameters
+    m = ~np.isnan(b[0])
+    np.testing.assert_allclose(b[0][m], a[0][m], atol=1e-4)
+
+
 def test_ref_space_fit_apply_roundtrip():
     """2× src over identical content: corrected ≈ ref relation at src scale
     (mirrors test_fuse_api.py:82-114 'out ≈ src within abs=2')."""
