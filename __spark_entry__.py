@@ -706,25 +706,16 @@ ORACLE_MINHASH_NEARDUP = ORACLE_NGRAM_JACCARD.replace(">= 0.5", ">= 0.8")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 10 vectors (exact ANN
-    baseline). Rank ties broken by neighbor id; cosine rounded to 4dp for
-    cross-engine float stability."""
-    from homonim_spark.operators.similarity import cosine_similarity
-    from pyspark.sql import Window
+    """Exact cosine top-5 for the first 10 vectors (exact ANN baseline) via
+    the BLAS scale path: one GEMM per Arrow batch, per-partition partial
+    top-k (map-side combine), final rank over n_part × n_q × k rows only.
+    Rank ties broken by neighbor id; cosine rounded to 4dp for cross-engine
+    float stability."""
+    from homonim_spark.operators.similarity import cosine_topk_np
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    q = emb.filter(F.col("vec_id") < 10)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        cosine_topk_np(emb, q, k=5, round_dp=4)
         .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"),
                 "cosine", "rank")
         .orderBy("query_id", "rank")

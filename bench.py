@@ -57,17 +57,21 @@ def main() -> None:
     from homonim_spark.operators.fuse import fuse
     docs, tiles, n_src_tiles = build_raster_bench_input(spark)
     docs.count(); tiles.count()  # materialize cache: time compute, not gen
-    # warm-up: spin up ALL python workers (module imports, Arrow init) and
-    # JIT the codegen paths before timing — a fuse over a small doc slice
-    # spread across every core
-    fuse(docs.limit(64).repartition(int(cpus)), tiles,
-         model="gain-blk-offset", kernel_shape=(5, 5)).count()
+    # warm-up: ONE full-size untimed rep.  A fresh JVM needs the complete
+    # job once to JIT the codegen/shuffle paths and spin up every python
+    # worker — measured 26-65 s cold vs 4-7 s steady on the same input; a
+    # small-slice warm-up does not exercise the full exchange.  JIT keeps
+    # improving for several reps, so run until converged (last rep within
+    # 8% of the best), then report the min = steady-state throughput.
+    fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
     fuse_sec, n_out = None, 0
-    for _ in range(2):  # min of 2 — single-shot walls are noisy on shared hosts
+    for rep in range(8):
         t0 = time.perf_counter()
         n_out = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
         dt = time.perf_counter() - t0
         fuse_sec = dt if fuse_sec is None else min(fuse_sec, dt)
+        if rep >= 2 and dt <= fuse_sec * 1.08:
+            break
     timings["fuse_gain_blk_offset_5x5"] = round(fuse_sec, 3)
     tiles_per_sec = n_out / fuse_sec if fuse_sec > 0 else 0.0
 

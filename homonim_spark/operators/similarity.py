@@ -69,6 +69,72 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k, BLAS scale path. Same output contract as ``cosine_topk``.
+
+    The query set (small by contract) is collected and closure-broadcast as
+    one numpy matrix; each Arrow batch of the corpus computes a single
+    (batch × dim) @ (dim × n_q) GEMM instead of per-row higher-order
+    functions — ~10-100× less per-element overhead, and the corpus is
+    traversed once with NO shuffle of scored rows: each partition emits only
+    its per-query top-k candidates (map-side combine for top-k), so the
+    final exchange carries n_partitions × n_q × k rows regardless of corpus
+    size. Ranking uses the rounded cosine with neighbor_id tie-break,
+    identical to ``cosine_topk``.
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    n_q = len(q_ids)
+
+    def part(batches):
+        import pandas as pd
+
+        # running per-query candidate pools, merged batch-by-batch
+        pool_ids = [np.empty(0, dtype=np.int64) for _ in range(n_q)]
+        pool_scores = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Cn @ Qn.T, round_dp)  # (batch, n_q)
+            for j in range(n_q):
+                s = S[:, j]
+                keep = ids != q_ids[j]  # self-match exclusion
+                cand_s = np.concatenate([pool_scores[j], s[keep]])
+                cand_i = np.concatenate([pool_ids[j], ids[keep]])
+                # total order (-score, id): global top-k == top-k of the
+                # union of per-partition top-k under the same order
+                order = np.lexsort((cand_i, -cand_s))[:k]
+                pool_scores[j], pool_ids[j] = cand_s[order], cand_i[order]
+        out = {
+            "query_id": np.repeat(q_ids, [len(p) for p in pool_ids]),
+            "neighbor_id": np.concatenate(pool_ids) if n_q else np.empty(0, np.int64),
+            "cosine": np.concatenate(pool_scores) if n_q else np.empty(0, np.float64),
+        }
+        yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        part, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane —
     ``bit_i = (v · p_i) > 0``. Planes are a seeded constant folded into the

@@ -127,3 +127,24 @@ def test_embedding_near_duplicates_exact_vs_bucketed(spark, vectors):
     bucketed = similarity.embedding_near_duplicates(
         vectors, threshold=0.95, exact=False, dim=16, n_planes=4).toPandas()
     assert set(map(tuple, bucketed[["vec_a", "vec_b"]].values.tolist())) == {(0, 1)}
+
+
+def test_cosine_topk_np_matches_hof_path(spark):
+    # larger multi-partition corpus: exercises the per-partition partial
+    # top-k merge; planted exact duplicates exercise the neighbor_id
+    # tie-break at equal (rounded) cosine
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    base[50] = base[0]          # exact dup of 0 -> cosine tie with itself
+    base[51] = base[0]          # second exact dup -> tie among neighbors
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])).repartition(8).cache()
+    queries = vecs.filter(F.col("vec_id") < 5)
+    hof = (similarity.cosine_topk(vecs, queries, k=4)
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    blas = (similarity.cosine_topk_np(vecs, queries, k=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert list(hof["neighbor_id"]) == list(blas["neighbor_id"])
+    assert list(hof["query_id"]) == list(blas["query_id"])
+    assert np.allclose(hof["cosine"], blas["cosine"], atol=1e-6)

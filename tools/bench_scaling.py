@@ -34,16 +34,20 @@ docs, tiles = datagen.distributed_fixture(spark, n_pairs=pairs, tile=tile,
                                           partitions=4 * cpus)
 docs = docs.cache(); tiles = tiles.cache()
 docs.count(); tiles.count()
-# warm-up: spin up every python worker + JIT before timing
-fuse(docs.limit(4 * cpus).repartition(cpus), tiles,
-     model="gain-blk-offset", kernel_shape=(5, 5)).count()
-# min of 2 reps — single-shot wall times are noisy on shared hosts
+# warm-up: ONE full-size untimed rep — a fresh JVM needs the complete job
+# once to JIT codegen/shuffle paths and spin up every python worker
+# (measured 26-65 s cold vs 4-7 s steady on identical input).  JIT keeps
+# improving for several reps: run until converged (last rep within 8% of
+# the best), report the min = steady-state throughput.
+fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
 best, n = None, 0
-for _ in range(2):
+for rep in range(8):
     t0 = time.perf_counter()
     n = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
     dt = time.perf_counter() - t0
     best = dt if best is None else min(best, dt)
+    if rep >= 2 and dt <= best * 1.08:
+        break
 print(json.dumps({"cpus": cpus, "sec": best, "tiles": n,
                   "tiles_per_sec": n / best}))
 spark.stop()
