@@ -361,6 +361,48 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per-part-type revenue + share of total for one ship
+    month — broadcast of the part dim against the lineitem fact, conditional
+    aggregate over a window-free total (scalar join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_type = (
+        li.filter((F.col("l_shipdate") >= "1995-09-01")
+                  & (F.col("l_shipdate") < "1995-10-01"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("_rev"), F.count("*").alias("n_items"))
+    )
+    total = per_type.agg(F.sum("_rev").alias("_tot"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            F.round("_rev", 4).alias("revenue"),
+            "n_items",
+            F.round(F.col("_rev") / F.col("_tot"), 6).alias("revenue_share"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_PROMO_SHARE = """
+WITH per_type AS (
+  SELECT p_type, SUM(l_extendedprice*(1-l_discount)) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+  GROUP BY p_type
+)
+SELECT p_type, ROUND(rev, 4) AS revenue, n_items,
+       ROUND(rev / SUM(rev) OVER (), 6) AS revenue_share
+FROM per_type ORDER BY p_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization via window lag: a new session starts after a
     >30-minute gap per user (the batch analogue of the streaming session
@@ -885,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
+        "promo_share": q_promo_share,
         "band_match_rank": q_band_match_rank,
         "topk_orders": q_topk_orders,
         "join_pushdown": q_join_pushdown,
@@ -927,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": ORACLE_TPCH_Q1,
         "tpch_q3": ORACLE_TPCH_Q3,
         "tpch_q6": ORACLE_TPCH_Q6,
+        "promo_share": ORACLE_PROMO_SHARE,
         "band_match_rank": ORACLE_BAND_MATCH_RANK,
         "topk_orders": ORACLE_TOPK_ORDERS,
         "join_pushdown": ORACLE_JOIN_PUSHDOWN,
