@@ -467,7 +467,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS null_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -502,7 +502,7 @@ WITH b AS (
   UNION ALL SELECT user_id, 'click_and_view' FROM cv
 )
 SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
-       SUM(user_id) AS sum_user_id
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id
 FROM tagged GROUP BY cohort ORDER BY cohort
 """
 
@@ -580,8 +580,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKEW_REPORT = """
 WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-       SUM(n) AS total_rows,
-       MAX(n) AS max_rows,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(MAX(n) AS BIGINT) AS max_rows,
        ROUND(AVG(n), 6) AS avg_rows,
        ROUND(MAX(n) / AVG(n), 6) AS skew_ratio
 FROM c

@@ -78,6 +78,15 @@ def main():
         eq = True
         for c in g.columns:
             a, b = g[c], w[c]
+            # Driver hashes stringified values, so int64 "125" vs float64
+            # "125.0" mismatches (DuckDB HUGEINT sums land as float64) while
+            # int32 vs int64 is fine. Flag only int-vs-float kind drift.
+            kind = lambda s: ("f" if np.issubdtype(s.dtype, np.floating)
+                              else "i" if np.issubdtype(s.dtype, np.integer) else "o")
+            if kind(a) != kind(b) and "o" not in (kind(a), kind(b)):
+                print(f"[FAIL-dtype] {name} col {c}: spark {a.dtype} vs oracle {b.dtype}")
+                eq = False
+                break
             if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
                 ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
             else:
