@@ -69,9 +69,10 @@ def main() -> None:
         t0 = time.perf_counter()
         n_out = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
         dt = time.perf_counter() - t0
+        prev = fuse_sec  # compare vs pre-update best: a new-minimum rep must
         fuse_sec = dt if fuse_sec is None else min(fuse_sec, dt)
-        if rep >= 2 and dt <= fuse_sec * 1.08:
-            break
+        if rep >= 2 and prev is not None and dt <= prev * 1.08:
+            break  # converged: rep did not beat the prior best by >8%
     timings["fuse_gain_blk_offset_5x5"] = round(fuse_sec, 3)
     tiles_per_sec = n_out / fuse_sec if fuse_sec > 0 else 0.0
 

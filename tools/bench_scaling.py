@@ -45,9 +45,10 @@ for rep in range(8):
     t0 = time.perf_counter()
     n = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
     dt = time.perf_counter() - t0
+    prev = best  # compare vs pre-update best (new-minimum reps must not
     best = dt if best is None else min(best, dt)
-    if rep >= 2 and dt <= best * 1.08:
-        break
+    if rep >= 2 and prev is not None and dt <= prev * 1.08:
+        break  # converged: rep did not beat prior best by >8%
 print(json.dumps({"cpus": cpus, "sec": best, "tiles": n,
                   "tiles_per_sec": n / best}))
 spark.stop()
