@@ -92,14 +92,20 @@ class TableCatalog:
         if mode not in ("append", "replace"):
             raise ValueError(f"mode must be append|replace, got {mode!r}")
         if self.catalog is not None:
-            w = df.writeTo(self._ident(table)).using("iceberg")
+            ident = self._ident(table)
+            w = df.writeTo(ident).using("iceberg")
+            # Per-commit run metadata (FUSE_* tag analogue) must ride the
+            # *snapshot summary*, not table properties — tableProperty only
+            # applies at table creation and is silently dropped on append.
             for k, v in (properties or {}).items():
-                w = w.tableProperty(str(k), str(v))
+                w = w.option(f"snapshot-property.{k}", str(v))
             if mode == "append":
-                try:
+                # explicit existence check: a failed append (schema mismatch,
+                # commit conflict) must propagate, not be masked by create()
+                if self.spark.catalog.tableExists(ident):
                     w.append()
-                except Exception:
-                    w.create()  # first write creates the table
+                else:
+                    w.create()
             else:
                 w.createOrReplace()
             snaps = self.snapshots(table)
@@ -143,11 +149,19 @@ class TableCatalog:
     def snapshots(self, table: str) -> list[dict]:
         """Snapshot log (id, mode, committed_at, properties), oldest first."""
         if self.catalog is not None:
+            # normalized to the fallback schema (operation→mode, summary map
+            # → properties) so checkpoint-resume callers work on both backends
             rows = self.spark.sql(
-                f"SELECT snapshot_id, committed_at, operation "
+                f"SELECT snapshot_id, committed_at, operation, summary "
                 f"FROM {self._ident(table)}.snapshots ORDER BY committed_at"
             ).collect()
-            return [r.asDict() for r in rows]
+            return [{
+                "snapshot_id": r["snapshot_id"],
+                "mode": "replace" if r["operation"] in ("overwrite", "replace")
+                        else "append",
+                "committed_at": r["committed_at"],
+                "properties": dict(r["summary"] or {}),
+            } for r in rows]
         return [{k: e[k] for k in
                  ("snapshot_id", "mode", "committed_at", "properties")}
                 for e in self._log(table)]
