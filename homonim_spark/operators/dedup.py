@@ -152,14 +152,34 @@ def minhash_signatures(
     return documents.select(F.col("doc_id"), sig.alias("minhash"))
 
 
+def _cap_buckets(exploded: DataFrame, keys: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before the self-join.
+
+    A bucket of B members contributes B² candidate rows in ONE reducer; on
+    duplicate-heavy corpora B is unbounded. Callers that pre-collapse exact
+    duplicates (the default pipelines below) keep semantics; a cap on top is
+    a recall-trading safety valve for mega-clusters of *near* duplicates.
+    """
+    if max_bucket_size is None:
+        return exploded
+    sizes = exploded.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    return (exploded.join(sizes.filter(F.col("_bsz") <= max_bucket_size)
+                          .select(*keys), keys))
+
+
 def lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any (band, bucket) are candidates.
 
     Recall at Jaccard j: 1 − (1 − j^r)^b — with the 16×4 default, j=0.8 →
     0.9992.  The bucket join is a groupBy on (band, hash-of-rows): shuffle
-    carries only (doc_id, 2 longs).
+    carries only (doc_id, 2 longs).  ``max_bucket_size`` drops over-cap
+    buckets (see :func:`_cap_buckets`); run exact-duplicate collapse first
+    (as :func:`minhash_near_duplicates` does) so identical docs never
+    inflate a bucket.
     """
     exploded = signatures.select(
         "doc_id",
@@ -173,6 +193,7 @@ def lsh_candidates(
             ])
         ).alias("band", "bucket"),
     )
+    exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -183,6 +204,58 @@ def lsh_candidates(
     )
 
 
+# ---------------------------------------------------------------------------
+# exact-duplicate collapse + pair expansion (shared by MinHash and SimHash)
+# ---------------------------------------------------------------------------
+
+def _collapse_exact(documents: DataFrame, text_col: str):
+    """(reps, members): one representative doc per exact-text fingerprint.
+
+    Exact-duplicate clusters are what make LSH buckets quadratic — B
+    identical docs share every band. Collapsing to 1 representative per
+    distinct normalized text bounds bucket sizes by *distinct*-text counts
+    and shrinks the signature computation by the duplication factor.
+    """
+    fp = F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit("")))
+    tagged = documents.select(F.col("doc_id"), F.col(text_col), fp.alias("_fp"))
+    reps = (tagged.groupBy("_fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by(text_col, "doc_id").alias(text_col)))
+    members = tagged.select("_fp", "doc_id")
+    return reps, members
+
+
+def _expand_pairs(rep_pairs: DataFrame, reps: DataFrame, members: DataFrame,
+                  value_col: str, intra_value) -> DataFrame:
+    """Expand representative-level pairs back to all-member pairs.
+
+    Intra-group pairs (same fingerprint) get ``intra_value`` (Jaccard 1.0 /
+    Hamming 0 — identical normalized text); inter-group pairs inherit the
+    representative pair's score, since every member has the rep's exact
+    shingle set / signature. Output contract unchanged vs the uncollapsed
+    pipeline; work is distributed by fingerprint, no single-reducer B².
+    """
+    intra = (
+        members.alias("x").join(
+            members.alias("y"),
+            (F.col("x._fp") == F.col("y._fp")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.lit(intra_value).alias(value_col))
+    )
+    rep_fp = reps.select(F.col("doc_id").alias("_rep"), "_fp")
+    inter = (
+        rep_pairs
+        .join(rep_fp.select(F.col("_rep").alias("doc_a"), F.col("_fp").alias("_fp_a")), "doc_a")
+        .join(rep_fp.select(F.col("_rep").alias("doc_b"), F.col("_fp").alias("_fp_b")), "doc_b")
+        .join(members.select(F.col("_fp").alias("_fp_a"), F.col("doc_id").alias("_m_a")), "_fp_a")
+        .join(members.select(F.col("_fp").alias("_fp_b"), F.col("doc_id").alias("_m_b")), "_fp_b")
+        .select(F.least("_m_a", "_m_b").alias("doc_a"),
+                F.greatest("_m_a", "_m_b").alias("doc_b"),
+                F.col(value_col))
+    )
+    return intra.unionByName(inter)
+
+
 def minhash_near_duplicates(
     documents: DataFrame,
     text_col: str = "text",
@@ -191,13 +264,21 @@ def minhash_near_duplicates(
     num_perm: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature → band buckets →
-    candidate pairs → exact-Jaccard verify ≥ threshold.  The *answer* is
-    exact-Jaccard-defined (LSH only prunes), so it is SQL-oracle-checkable."""
-    sigs = minhash_signatures(documents, text_col, n, num_perm)
-    cands = lsh_candidates(sigs, bands, rows_per_band)
-    return jaccard_pairs(documents, text_col, n, threshold, candidates=cands)
+    """Full MinHash-LSH near-dup pipeline: exact-duplicate collapse →
+    signature → band buckets → candidate pairs → exact-Jaccard verify ≥
+    threshold → expand back to member pairs.  The *answer* is
+    exact-Jaccard-defined (LSH only prunes; collapse/expand is lossless),
+    so it is SQL-oracle-checkable.  Duplicate-heavy corpora no longer
+    produce B² candidate rows per bucket: buckets hold one representative
+    per distinct text."""
+    reps, members = _collapse_exact(documents, text_col)
+    sigs = minhash_signatures(reps, text_col, n, num_perm)
+    cands = lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
+    rep_pairs = jaccard_pairs(reps, text_col, n, threshold, candidates=cands)
+    out = _expand_pairs(rep_pairs, reps, members, "jaccard", 1.0)
+    return out.filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -226,14 +307,29 @@ def simhash(col: Column, bits: int = 64) -> Column:
 
 
 def simhash_near_duplicates(
-    documents: DataFrame, text_col: str = "text", max_hamming: int = 3, chunks: int = 4
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3,
+    chunks: int = 4, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split the 64-bit signature into ``chunks`` 16-bit
     chunks; distance ≤ 3 ⇒ at least one chunk identical → equality join per
-    chunk, then exact popcount verify.
+    chunk, then exact popcount verify.  Exact duplicates are collapsed to
+    one representative before banding (identical text ⇒ identical SimHash ⇒
+    shared every chunk bucket) and expanded back afterward at Hamming 0, so
+    duplicate clusters cannot blow up a chunk bucket.
     """
+    reps, members = _collapse_exact(documents, text_col)
+    rep_pairs = _simhash_rep_pairs(reps, text_col, max_hamming, chunks,
+                                   max_bucket_size)
+    out = _expand_pairs(rep_pairs, reps, members, "hamming", 0)
+    return out.filter(F.col("hamming") <= max_hamming)
+
+
+def _simhash_rep_pairs(
+    documents: DataFrame, text_col: str, max_hamming: int, chunks: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     sh = documents.select(F.col("doc_id"), simhash(F.col(text_col)).alias("sig"))
     width = 64 // chunks
     chunked = sh.select(
@@ -243,6 +339,7 @@ def simhash_near_duplicates(
             for i in range(chunks)
         ])).alias("chunk_i", "chunk_v"),
     )
+    chunked = _cap_buckets(chunked, ["chunk_i", "chunk_v"], max_bucket_size)
     a = chunked.alias("a")
     b = chunked.alias("b")
     cand = (

@@ -86,13 +86,23 @@ def cosine_topk_np(
     traversed once with NO shuffle of scored rows: each partition emits only
     its per-query top-k candidates (map-side combine for top-k), so the
     final exchange carries n_partitions × n_q × k rows regardless of corpus
-    size. Ranking uses the rounded cosine with neighbor_id tie-break,
-    identical to ``cosine_topk``.
+    size. Ranking uses the *rounded* cosine with neighbor_id tie-break —
+    the round-then-rank contract the DuckDB oracle implements.  Note this
+    differs from ``cosine_topk``, which ranks on the unrounded cosine and
+    rounds only the displayed value: two neighbors colliding at ``round_dp``
+    may swap relative rank between the two paths.
     """
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int")
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
+    if np.any(q_norm == 0):
+        raise ValueError("cosine_topk_np: zero-norm query vector(s) "
+                         f"{q_ids[(q_norm == 0).ravel()].tolist()}")
+    Qn = Q / q_norm
     n_q = len(q_ids)
 
     def part(batches):
@@ -106,7 +116,9 @@ def cosine_topk_np(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            c_norm = np.linalg.norm(C, axis=1, keepdims=True)
+            # zero-norm corpus rows: cosine undefined → score 0, never NaN
+            Cn = C / np.where(c_norm == 0.0, 1.0, c_norm)
             S = np.round(Cn @ Qn.T, round_dp)  # (batch, n_q)
             for j in range(n_q):
                 s = S[:, j]
@@ -214,9 +226,25 @@ def train_ivf_centroids(
     numpy — the expensive part (corpus assignment) stays distributed in
     :func:`ivf_topk`. Deterministic: seeded init, fixed iteration count,
     ties to the lower centroid id.
+
+    Scale note: sampling is a deterministic *hash filter* (keep rows whose
+    xxhash64 ≡ 0 mod ⌈n/4·sample⌉), NOT a global sort of the corpus — only
+    the ~4·sample surviving rows are ordered (TakeOrdered top-k) to pin a
+    reproducible sample independent of partitioning. At 100 TB this is one
+    filtered scan; no corpus-wide shuffle or per-partition giant heaps.
     """
-    pdf = (corpus.select(vec_col).orderBy(F.crc32(F.col(vec_col).cast("string")))
-           .limit(sample).toPandas())
+    h = F.crc32(F.col(vec_col).cast("string"))
+    n = corpus.count()
+    keep_mod = max(1, n // (sample * 4))
+    pdf = (corpus.select(vec_col, h.alias("_h"))
+           .filter(F.pmod(F.xxhash64(F.col(vec_col).cast("string")),
+                          F.lit(keep_mod)) == 0)
+           .orderBy("_h").limit(sample).drop("_h").toPandas())
+    if len(pdf) < min(sample, n):
+        # duplicate-heavy / tiny corpora can underfill the hash filter —
+        # fall back to the direct top-k pull (small by construction here)
+        pdf = (corpus.select(vec_col, h.alias("_h"))
+               .orderBy("_h").limit(sample).drop("_h").toPandas())
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -148,3 +148,48 @@ def test_cosine_topk_np_matches_hof_path(spark):
     assert list(hof["neighbor_id"]) == list(blas["neighbor_id"])
     assert list(hof["query_id"]) == list(blas["query_id"])
     assert np.allclose(hof["cosine"], blas["cosine"], atol=1e-6)
+
+
+def test_duplicate_heavy_corpus_no_bucket_blowup(spark):
+    """1k exact-duplicate docs: collapse-before-LSH keeps candidate volume
+    at 1 representative per distinct text (VERDICT r01 scale hazard #3).
+    Output still enumerates every member pair at jaccard 1.0 / hamming 0."""
+    import time
+    rows = [(f"dup{i:04d}", "same exact text repeated many times over") for i in range(1000)]
+    rows += [(f"uniq{i}", f"unique document number {i} with its own words {i * 7}") for i in range(20)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    t0 = time.perf_counter()
+    out = dedup.minhash_near_duplicates(docs, threshold=0.8)
+    # plan hygiene: no cartesian product / broadcast nested loop anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    n = out.count()
+    dt = time.perf_counter() - t0
+    assert n == 1000 * 999 // 2  # all member pairs of the dup cluster
+    assert dt < 120, f"duplicate cluster took {dt:.1f}s — bucket blowup?"
+
+    sim = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    assert sim.filter("hamming = 0").count() == 1000 * 999 // 2
+
+
+def test_minhash_collapse_expand_matches_direct_semantics(spark, docs):
+    """Collapsed pipeline output == per-pair exact jaccard >= threshold."""
+    out = dedup.minhash_near_duplicates(docs, threshold=0.3).toPandas()
+    direct = dedup.jaccard_pairs(docs, n=3, threshold=0.3).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]].values))
+    assert key(out) == key(direct)
+
+
+def test_train_ivf_centroids_no_global_sort(spark):
+    """IVF sampling is a hash filter + small top-k, not a corpus-wide sort."""
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame({
+        "vec_id": range(512),
+        "embedding": [rng.normal(size=8).tolist() for _ in range(512)],
+    })
+    vecs = spark.createDataFrame(pdf)
+    C1 = similarity.train_ivf_centroids(vecs, n_centroids=4, iters=3, sample=128)
+    C2 = similarity.train_ivf_centroids(vecs.repartition(7), n_centroids=4,
+                                        iters=3, sample=128)
+    assert np.allclose(C1, C2)  # deterministic across partitioning
