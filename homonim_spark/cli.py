@@ -68,17 +68,25 @@ def main(argv=None) -> int:
         from homonim_spark.kernel.models import KernelModelParams
         docs = spark.read.parquet(args.documents)
         tiles = spark.read.parquet(args.tiles)
-        proc = "ref" if args.proc_crs == "auto" else args.proc_crs
+        # 'auto' resolves to the lower-res grid inside infer_fuse_config
+        # (the reference rule, raster_pair.py:193-224)
         fused = fuse(docs, tiles, model=args.model, kernel_shape=tuple(args.kernel),
                      find_r2=args.find_r2, mask_partial=args.mask_partial,
-                     proc_crs=proc, chunk=args.chunk)
-        cfg = infer_fuse_config(tiles, KernelModelParams())
+                     proc_crs=args.proc_crs, chunk=args.chunk)
+        from homonim_spark.enums import ProcCrs
+        cfg = infer_fuse_config(tiles, KernelModelParams(),
+                                proc_crs=ProcCrs(args.proc_crs))
+        # corrected tiles live on the src grid; the h/w columns record the
+        # param (proc-grid) tile size — scale between them:
+        scale_h = (cfg.src_scale + cfg.ref_scale - 1) // cfg.ref_scale \
+            if cfg.proc_crs == ProcCrs.ref else 1
         fused.cache()
         write_corrected(fused, f"{args.out}/corrected", dtype=args.dtype,
-                        nodata=args.nodata, scale_h=cfg.factor)
+                        nodata=args.nodata, scale_h=scale_h)
         fused.drop("corr").write.mode("overwrite").parquet(f"{args.out}/params")
         n_bands = fused.select("band").distinct().count()
-        manifest = run_manifest(args.model, tuple(args.kernel), proc, n_bands,
+        manifest = run_manifest(args.model, tuple(args.kernel),
+                                cfg.proc_crs.value, n_bands,
                                 args.find_r2, {"src": args.tiles, "ref": args.tiles})
         with open(f"{args.out}/MANIFEST.json", "w") as fh:
             json.dump({k: list(v) if isinstance(v, tuple) else v

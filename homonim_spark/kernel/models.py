@@ -37,8 +37,17 @@ class KernelModelParams:
     #: standard deviations are masked and the model refit. None = off.
     sigma_clip: Optional[float] = None
     sigma_clip_iters: int = 2
+    #: proc→src parameter upsampling for the ref-space apply path.  The
+    #: reference defaults to ``Resampling.cubic_spline``
+    #: (``kernel_model.py:101,138-140``); the engine's smooth-interpolation
+    #: analogue is a NaN-safe bilinear (DOCUMENTED DEVIATION — within the
+    #: reference's own abs-2 corrected-value tolerance).  ``"nearest"`` is
+    #: the opt-in exact/fast path.
+    param_interp: str = "bilinear"
 
     def __post_init__(self):
+        if self.param_interp not in ("bilinear", "nearest"):
+            raise ConfigError("`param_interp` must be 'bilinear' or 'nearest'")
         kh, kw = self.kernel_shape
         if kh % 2 != 1 or kw % 2 != 1:
             raise ConfigError("`kernel_shape` must be odd in both dimensions.")
@@ -330,9 +339,9 @@ def fit_and_apply_ref_space(
     src_proc = ops.downsample_average(src, factor)
     param = fit_model(src_proc, ref, params)
 
-    param_us = np.stack(
-        [ops.upsample_nearest(param[0], factor), ops.upsample_nearest(param[1], factor)]
-    )
+    up = (ops.upsample_nearest if params.param_interp == "nearest"
+          else ops.upsample_bilinear_masked)
+    param_us = np.stack([up(param[0], factor), up(param[1], factor)])
     if params.mask_partial:
         out_mask = full_coverage_mask(
             ~np.isnan(src), ~np.isnan(param[0]), factor, params.kernel_shape

@@ -160,6 +160,30 @@ def upsample_bilinear(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def upsample_bilinear_masked(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """NaN-safe integer-factor bilinear upsample (normalized convolution).
+
+    Plain bilinear propagates NaN into every output pixel whose 2×2 support
+    touches nodata — at mask borders this eats a ring of valid output.  Here
+    NaN inputs get zero weight instead (interpolate value·mask / mask), and
+    output validity follows the *nearest* input pixel, matching how the
+    reference masks reprojected parameters by the proc-grid mask
+    (``/root/reference/homonim/kernel_model.py:138-140,396-409``).
+    """
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    valid = ~np.isnan(arr)
+    v = np.where(valid, arr, np.float32(0.0)).astype(np.float32)
+    num = upsample_bilinear(v, factor)
+    den = upsample_bilinear(valid.astype(np.float32), factor)
+    out = np.full(num.shape, np.nan, dtype=np.float32)
+    np.divide(num, den, out=out, where=den > np.float32(1e-6))
+    nv = upsample_nearest(valid.astype(np.float32), factor) >= 0.5
+    out[~nv] = np.nan
+    return out
+
+
 def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray, max_iter: int = 512) -> np.ndarray:
     """Fill pixels where ``valid_mask`` is False from surrounding valid data.
 

@@ -105,38 +105,60 @@ class FuseConfig:
     """Per-run planning constants (the reference resolves these at pair-open
     time, ``raster_pair.py:88-95,193-269``; the engine fixes them at ingest)."""
 
-    tile: int                  # proc-grid pixels per cell per dim
-    factor: int                # src pixels per proc pixel per dim
+    tile: int                  # coarse-grid pixels per cell per dim
+    factor: int                # fine pixels per coarse pixel per dim (≥1)
     params: KernelModelParams = KernelModelParams()
     proc_crs: ProcCrs = ProcCrs.ref
     chunk: int = 4             # cells per processing chunk per dim
+    src_finer: bool = True     # src is the finer-resolution role
+
+    @property
+    def src_scale(self) -> int:
+        """src pixels per coarse-grid pixel."""
+        return self.factor if self.src_finer else 1
+
+    @property
+    def ref_scale(self) -> int:
+        """ref pixels per coarse-grid pixel."""
+        return 1 if self.src_finer else self.factor
 
 
 def infer_fuse_config(tiles: DataFrame, params: KernelModelParams,
-                      proc_crs: ProcCrs = ProcCrs.ref, chunk: int = 4) -> FuseConfig:
+                      proc_crs: ProcCrs = ProcCrs.auto, chunk: int = 4) -> FuseConfig:
     """Resolve tile size / resample factor from tile metadata (metadata-scale
-    aggregate — two longs per role, never the payloads)."""
+    aggregate — two longs per role, never the payloads).
+
+    ``proc_crs='auto'`` resolves to the *lower-resolution* grid of the pair,
+    the reference's rule (``raster_pair.py:193-224``): ref when the source
+    pixel is smaller-or-equal, src otherwise.  Either resolution ordering is
+    accepted (src tile an integer multiple of ref tile, or vice versa)."""
     sizes = {r["role"]: r["h"] for r in
              tiles.groupBy("role").agg(F.max("h").alias("h")).collect()}
     ref_h = int(sizes.get("ref", 0))
     src_h = int(sizes.get("src", ref_h))
     if ref_h <= 0:
         raise ImageContentError("no reference tiles found")
-    if src_h % ref_h != 0:
-        raise ImageContentError(f"src tile {src_h} not an integer multiple of ref tile {ref_h}")
+    src_finer = src_h >= ref_h  # src pixel smaller-or-equal, as the reference
+    coarse_h, fine_h = (ref_h, src_h) if src_finer else (src_h, ref_h)
+    if fine_h % coarse_h != 0:
+        raise ImageContentError(
+            f"tile sizes not integer-related: src {src_h} vs ref {ref_h}")
+    proc_crs = ProcCrs(proc_crs)
+    if proc_crs == ProcCrs.auto:
+        proc_crs = ProcCrs.ref if src_finer else ProcCrs.src
     # halo correctness bound: both halo strategies exchange data with the
     # 1-ring of neighbor tiles/chunks only, so the overlap must fit inside
     # one tile (the reference's block > overlap assertion,
     # raster_pair.py:254-255,364-365)
     oh, ow = overlap_for_kernel(params.kernel_shape)
-    if oh > ref_h or ow > ref_h:
+    if oh > coarse_h or ow > coarse_h:
         from homonim_spark.enums import ConfigError
         raise ConfigError(
             f"kernel {params.kernel_shape} needs a {max(oh, ow)}px halo, larger "
-            f"than the {ref_h}px tile — use larger tiles (or a coarser proc grid)"
+            f"than the {coarse_h}px tile — use larger tiles (or a coarser proc grid)"
         )
-    return FuseConfig(tile=ref_h, factor=src_h // ref_h, params=params,
-                      proc_crs=ProcCrs(proc_crs), chunk=chunk)
+    return FuseConfig(tile=coarse_h, factor=fine_h // coarse_h, params=params,
+                      proc_crs=proc_crs, chunk=chunk, src_finer=src_finer)
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +385,9 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
     K = cfg.chunk
     params = cfg.params
     span = K * tile_px
-    src_px = tile_px * f
+    s_sc, r_sc = cfg.src_scale, cfg.ref_scale   # px per coarse px, per role
+    src_px = tile_px * s_sc                     # src tile px per cell
+    ref_px = tile_px * r_sc                     # ref tile px per cell
     find_r2 = params.find_r2 or (
         Model(params.model) == Model.gain_offset and params.r2_inpaint_thresh is not None
     )
@@ -373,12 +397,11 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
         ``out`` (dict of lists). ``rows`` = (role, cell_id, h, w,
         media_ref, data) tuples."""
         Rc, Cc = grid.cell_row(int(chunk_id)), grid.cell_col(int(chunk_id))
-        # canvas origins in global pixels
-        pg0r, pg0c = Rc * span - oh, Cc * span - ow          # proc grid
-        sg0r, sg0c = pg0r * f, pg0c * f                      # src grid
+        # canvas origins in global pixels (coarse grid; per-role scaled)
+        pg0r, pg0c = Rc * span - oh, Cc * span - ow          # coarse grid
         ph_, pw_ = span + 2 * oh, span + 2 * ow
-        ref_canvas = np.full((ph_, pw_), np.nan, dtype=np.float32)
-        src_canvas = np.full((ph_ * f, pw_ * f), np.nan, dtype=np.float32)
+        ref_canvas = np.full((ph_ * r_sc, pw_ * r_sc), np.nan, dtype=np.float32)
+        src_canvas = np.full((ph_ * s_sc, pw_ * s_sc), np.nan, dtype=np.float32)
         owned = []
 
         for role, cell_id, h, w, media_ref, data in rows:
@@ -386,12 +409,14 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
             cr, cc_ = grid.cell_row(int(cell_id)), grid.cell_col(int(cell_id))
             if role == "src":
                 t0r, t0c = cr * src_px, cc_ * src_px
-                canvas, g0r, g0c, H, W = src_canvas, sg0r, sg0c, ph_ * f, pw_ * f
+                canvas = src_canvas
+                g0r, g0c, H, W = pg0r * s_sc, pg0c * s_sc, ph_ * s_sc, pw_ * s_sc
                 if cr // K == Rc and cc_ // K == Cc:
                     owned.append((int(cell_id), media_ref, cr - Rc * K, cc_ - Cc * K))
             else:
-                t0r, t0c = cr * tile_px, cc_ * tile_px
-                canvas, g0r, g0c, H, W = ref_canvas, pg0r, pg0c, ph_, pw_
+                t0r, t0c = cr * ref_px, cc_ * ref_px
+                canvas = ref_canvas
+                g0r, g0c, H, W = pg0r * r_sc, pg0c * r_sc, ph_ * r_sc, pw_ * r_sc
             # intersect tile with canvas, slice and place
             i0r, i1r = max(t0r, g0r), min(t0r + arr.shape[0], g0r + H)
             i0c, i1c = max(t0c, g0c), min(t0c + arr.shape[1], g0c + W)
@@ -403,54 +428,102 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
         if not owned:
             return
 
-        src_interior = src_canvas[oh * f : (oh + span) * f, ow * f : (ow + span) * f]
+        src_interior = src_canvas[oh * s_sc : (oh + span) * s_sc,
+                                  ow * s_sc : (ow + span) * s_sc]
 
         if cfg.proc_crs == ProcCrs.src:
-            # SrcSpaceModel (kernel_model.py:506-535): upsample ref to the
-            # src grid, fit and apply there; params live on the src grid
-            ref_us = ops.upsample_bilinear(ref_canvas, (f, f))
-            if not (~np.isnan(src_canvas) & ~np.isnan(ref_us)).any():
+            # SrcSpaceModel (kernel_model.py:506-535): resample ref to the
+            # src grid, fit and apply there; params live on the src grid.
+            # src finer → upsample ref (bilinear); src coarser (the auto
+            # resolution when the source is the lower-res image,
+            # raster_pair.py:193-224) → block-mean downsample ref.
+            if s_sc >= r_sc:
+                ref_rs = ops.upsample_bilinear(ref_canvas, (f, f)) if f > 1 else ref_canvas
+                ref_cov = ops.upsample_nearest(
+                    (~np.isnan(ref_canvas)).astype(np.float32), (f, f)) >= 1 \
+                    if f > 1 else ~np.isnan(ref_canvas)
+            else:
+                ref_rs = ops.downsample_average(ref_canvas, (f, f))
+                ref_cov = ops.block_mean(
+                    (~np.isnan(ref_canvas)).astype(np.float32), (f, f)) >= 1
+            if not (~np.isnan(src_canvas) & ~np.isnan(ref_rs)).any():
                 return
-            param = fit_model(src_canvas, ref_us, params)
-            pc = param[:, oh * f : (oh + span) * f, ow * f : (ow + span) * f]
+            param = fit_model(src_canvas, ref_rs, params)
+            pc = param[:, oh * s_sc : (oh + span) * s_sc, ow * s_sc : (ow + span) * s_sc]
             param_us = pc[:2].copy()
             if params.mask_partial:
-                # coverage = upsampled ref mask (reference reprojects the
-                # ref mask to the src grid, kernel_model.py:526-533)
-                mask = ops.upsample_nearest(
-                    (~np.isnan(ref_canvas)).astype(np.float32), (f, f)) >= 1
-                mask = mask.astype(np.uint8)
+                # coverage = ref mask resampled to the src grid
+                # (kernel_model.py:526-533)
+                mask = ref_cov.astype(np.uint8)
                 mask &= (~np.isnan(param[0])).astype(np.uint8)
                 se = (params.kernel_shape[0] + 2, params.kernel_shape[1] + 2)
                 full_cov = ops.erode_rect(mask, se).astype(bool)
-                param_us[:, ~full_cov[oh * f : (oh + span) * f, ow * f : (ow + span) * f]] = np.nan
+                param_us[:, ~full_cov[oh * s_sc : (oh + span) * s_sc,
+                                      ow * s_sc : (ow + span) * s_sc]] = np.nan
             else:
                 param_us[:, np.isnan(src_interior)] = np.nan
-            out_px, pscale = src_px, f  # params on src grid
+            out_px = src_px  # params on src grid
         else:
-            # RefSpaceModel (kernel_model.py:466-503): fit on the proc grid
-            src_proc = ops.downsample_average(src_canvas, (f, f))
+            # RefSpaceModel (kernel_model.py:466-503): fit on the ref grid.
+            # src finer → block-mean downsample src (the recommended combo);
+            # src coarser → bilinear-upsample src onto the finer ref grid
+            # (the reference's warned-but-allowed combination).
+            if s_sc >= r_sc:
+                src_proc = ops.downsample_average(src_canvas, (f, f)) if f > 1 else src_canvas
+            else:
+                src_proc = ops.upsample_bilinear(src_canvas, (f, f))
             if not (~np.isnan(src_proc) & ~np.isnan(ref_canvas)).any():
                 return
             param = fit_model(src_proc, ref_canvas, params)
-            pc = param[:, oh : oh + span, ow : ow + span]
-            param_us = np.stack([
-                ops.upsample_nearest(pc[0], (f, f)),
-                ops.upsample_nearest(pc[1], (f, f)),
-            ])
+            pc = param[:, oh * r_sc : (oh + span) * r_sc, ow * r_sc : (ow + span) * r_sc]
+            if s_sc >= r_sc:
+                # params ref(coarse) → src(fine): the reference's smooth
+                # param upsampling (kernel_model.py:101).  Bilinear needs
+                # 1 proc px of context, so upsample the FULL halo canvas
+                # and crop in fine coordinates — keeps chunked == whole-
+                # image (halo oh ≥ 1 always: ceil(k/2) with k ≥ 1).
+                if f == 1:
+                    param_us = pc[:2].copy()
+                elif params.param_interp == "nearest":
+                    param_us = np.stack([
+                        ops.upsample_nearest(pc[0], (f, f)),
+                        ops.upsample_nearest(pc[1], (f, f)),
+                    ])
+                else:
+                    fsl = (slice(oh * f, (oh + span) * f),
+                           slice(ow * f, (ow + span) * f))
+                    param_us = np.stack([
+                        ops.upsample_bilinear_masked(param[0], (f, f))[fsl],
+                        ops.upsample_bilinear_masked(param[1], (f, f))[fsl],
+                    ])
+            else:
+                # params ref(fine) → src(coarse): block-mean downsample
+                # (the reference's proc→src 'downsampling=average' default)
+                param_us = np.stack([
+                    ops.downsample_average(pc[0], (f, f)),
+                    ops.downsample_average(pc[1], (f, f)),
+                ])
             if params.mask_partial:
-                cov_frac = ops.block_mean((~np.isnan(src_canvas)).astype(np.float32), (f, f))
+                if s_sc >= r_sc:
+                    cov_frac = ops.block_mean((~np.isnan(src_canvas)).astype(np.float32), (f, f)) \
+                        if f > 1 else (~np.isnan(src_canvas)).astype(np.float32)
+                else:
+                    cov_frac = (ops.upsample_nearest(
+                        (~np.isnan(src_canvas)).astype(np.float32), (f, f)))
                 mask = (cov_frac >= 1).astype(np.uint8)
                 mask &= (~np.isnan(param[0])).astype(np.uint8)
                 se = (params.kernel_shape[0] + 2, params.kernel_shape[1] + 2)
                 full_cov = ops.erode_rect(mask, se).astype(bool)
-                cov_us = ops.upsample_nearest(
-                    full_cov[oh : oh + span, ow : ow + span].astype(np.float32),
-                    (f, f)) >= 0.5
+                fc = full_cov[oh * r_sc : (oh + span) * r_sc,
+                              ow * r_sc : (ow + span) * r_sc].astype(np.float32)
+                if s_sc >= r_sc:
+                    cov_us = (ops.upsample_nearest(fc, (f, f)) if f > 1 else fc) >= 0.5
+                else:
+                    cov_us = ops.block_mean(fc, (f, f)) >= 1
                 param_us[:, ~cov_us] = np.nan
             else:
                 param_us[:, np.isnan(src_interior)] = np.nan
-            out_px, pscale = tile_px, 1
+            out_px = ref_px  # params on ref grid
 
         corr_canvas = apply_model(src_interior, param_us)
 
@@ -554,11 +627,22 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
         # crop params to the canvas interior (the chunk's out-block)
         pc = param[:, oh : oh + span, ow : ow + span]
 
-        # params on the src grid for the apply stage
-        param_us = np.stack([
-            ops.upsample_nearest(pc[0], (factor, factor)),
-            ops.upsample_nearest(pc[1], (factor, factor)),
-        ])
+        # params on the src grid for the apply stage (same interp dispatch
+        # as the routed mode — the two halo modes must stay bit-identical)
+        if factor == 1:
+            param_us = pc[:2].copy()
+        elif params.param_interp == "nearest":
+            param_us = np.stack([
+                ops.upsample_nearest(pc[0], (factor, factor)),
+                ops.upsample_nearest(pc[1], (factor, factor)),
+            ])
+        else:
+            fsl = (slice(oh * factor, (oh + span) * factor),
+                   slice(ow * factor, (ow + span) * factor))
+            param_us = np.stack([
+                ops.upsample_bilinear_masked(param[0], (factor, factor))[fsl],
+                ops.upsample_bilinear_masked(param[1], (factor, factor))[fsl],
+            ])
         if params.mask_partial:
             # strict coverage (kernel_model.py:375-409): proc pixels whose
             # src coverage fraction is 1, AND param validity, eroded by a
@@ -702,7 +786,7 @@ def fuse(
     find_r2: bool = False,
     r2_inpaint_thresh: Optional[float] = 0.25,
     mask_partial: bool = False,
-    proc_crs: ProcCrs | str = ProcCrs.ref,
+    proc_crs: ProcCrs | str = ProcCrs.auto,
     check_coverage: bool = False,
     chunk: int = 4,
     halo_mode: str = "routed",
@@ -743,5 +827,12 @@ def fuse(
         raise ImageContentError("reference tiles do not cover all source cells")
     if halo_mode == "routed":
         return fuse_blocks_routed(route_tiles(used, cfg), cfg)
+    if cfg.proc_crs != ProcCrs.ref or not cfg.src_finer:
+        from homonim_spark.enums import ConfigError
+        raise ConfigError(
+            "halo_mode='strips' supports the src-finer / proc_crs='ref' "
+            "configuration only — use halo_mode='routed' (the default) for "
+            "src-space processing or a coarser-than-reference source"
+        )
     pieces = halo_explode(used, cfg)
     return fuse_blocks(pieces, cfg)
