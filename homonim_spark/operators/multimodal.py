@@ -4,11 +4,12 @@ Media payloads are opaque ``binary`` columns with typed metadata — exactly
 the engine's tile model generalized.  Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` UDFs.
 
-The image/audio codec libraries are NOT available in this container, so the
-decode step is STUBBED: ``decode_media`` raises ``NotImplementedError`` for
-real codecs and supplies a deterministic fake for the ``raw-f32`` codec the
-engine's own tiles use.  The Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested.
+Real codecs in this container: ``raw-f32`` (the engine's native float32-LE
+tile codec) and ``png`` (pure-python decoder/encoder, ``homonim_spark.pngio``
+— stdlib zlib, 8-bit grey/RGB/alpha).  Audio/video codecs are NOT available,
+so those decodes remain a clearly-marked ``NotImplementedError`` stub; the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested for all codecs.
 """
 
 from __future__ import annotations
@@ -39,17 +40,22 @@ def decode_media(data: bytes, codec: str, h: int | None = None, w: int | None = 
     """Decode a media payload to a numpy array.
 
     ``raw-f32``: the engine's native float32-LE tile codec (real).
-    Anything else (jpeg/png/wav/mp4...) requires codec libraries not present
+    ``png``: pure-python PNG decode (real; ``homonim_spark.pngio``).
+    Anything else (jpeg/wav/mp4...) requires codec libraries not present
     in this environment — STUB, clearly marked.
     """
     if codec == "raw-f32":
         if h is None or w is None:
             raise ValueError("raw-f32 requires h and w")
         return decode_tile(data, h, w)
+    if codec == "png":
+        # real compressed-image decode: pure-python PNG (homonim_spark.pngio)
+        from homonim_spark.pngio import read_png
+        return read_png(bytes(data)).astype(np.float32)
     raise NotImplementedError(
-        f"codec {codec!r}: image/audio decode libraries are not available in "
+        f"codec {codec!r}: audio/video decode libraries are not available in "
         "this container; plug a decoder in here (the Spark plumbing around "
-        "this function is complete)"
+        "this function is complete — 'raw-f32' and 'png' are real)"
     )
 
 
@@ -75,8 +81,10 @@ def media_features(
                     valid = ~np.isnan(arr)
                     rec.update(
                         width=int(arr.shape[1]), height=int(arr.shape[0]),
-                        mean=float(np.nanmean(arr)) if valid.any() else None,
-                        std=float(np.nanstd(arr)) if valid.any() else None,
+                        # float64 accumulation: exact for integer-valued
+                        # (png) pixels, oracle-reproducible
+                        mean=float(np.nanmean(arr, dtype=np.float64)) if valid.any() else None,
+                        std=float(np.nanstd(arr, dtype=np.float64)) if valid.any() else None,
                         p_valid=float(valid.mean()),
                     )
                 except NotImplementedError:
@@ -101,20 +109,31 @@ def resize_media(media: DataFrame, out_h: int, out_w: int, codec: str = "raw-f32
         T.StructField("data", T.BinaryType(), False),
     ])
 
+    def resize_plane(arr: np.ndarray) -> np.ndarray:
+        if arr.shape[0] >= out_h:
+            f = (arr.shape[0] // out_h, arr.shape[1] // out_w)
+            return ops.downsample_average(arr, f)
+        f = (out_h // arr.shape[0], out_w // arr.shape[1])
+        return ops.upsample_nearest(arr, f)
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from homonim_spark.tiles import encode_tile
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 arr = decode_media(r.data, codec, r.h, r.w)
-                if arr.shape[0] >= out_h:
-                    f = (arr.shape[0] // out_h, arr.shape[1] // out_w)
-                    out = ops.downsample_average(arr, f)
+                if arr.ndim == 3:  # per-channel resample (png RGB/RGBA)
+                    out = np.stack([resize_plane(arr[:, :, c].astype(np.float32))
+                                    for c in range(arr.shape[2])], axis=-1)
                 else:
-                    f = (out_h // arr.shape[0], out_w // arr.shape[1])
-                    out = ops.upsample_nearest(arr, f)
+                    out = resize_plane(arr)
+                if codec == "png":
+                    from homonim_spark.pngio import write_png
+                    buf = write_png(np.clip(np.round(out), 0, 255).astype(np.uint8))
+                else:
+                    buf = encode_tile(out)
                 rows.append({"media_ref": r.media_ref, "h": out.shape[0],
-                             "w": out.shape[1], "data": encode_tile(out)})
+                             "w": out.shape[1], "data": buf})
             yield pd.DataFrame(rows, columns=["media_ref", "h", "w", "data"])
 
     return media.select("media_ref", "h", "w", "data").mapInPandas(resize, schema=schema)
