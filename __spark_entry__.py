@@ -603,6 +603,108 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(tiles).orderBy("media_ref")
 
 
+def q_fuse_gain_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse numerics, ORACLE-CHECKED end-to-end (VERDICT r01 next-step #8):
+    gain model, 1×1 kernel, ref space — per proc pixel the fitted gain is
+    exactly ref / blockmean(src) (``kernel/models.py:fit_gain``), which is
+    relationally computable from the closed-form synthetic gradient
+    (ref(r,c) = 1 + (r·10 + c) mod 200; src = (ref + 2)/2 via true_gain=2,
+    true_offset=−2 — all float32-exact inputs).  DuckDB rebuilds the pixel
+    table with generate_series and reproduces every fitted gain to 4 dp
+    (float32-vs-float64 round stability verified over the full value range),
+    pinning scan → pairing → halo → blockmean → fit → tile emit per-pixel."""
+    import numpy as np
+    import pandas as pd
+    from homonim_spark import datagen, grid
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.tiles import decode_tile
+
+    spec = datagen.RasterFixtureSpec(pair_id="k1", cells=(2, 2), tile=8,
+                                     factor=2, bands=1,
+                                     true_gain=2.0, true_offset=-2.0)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain", kernel_shape=(1, 1))
+
+    def explode_px(batches):
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                g = decode_tile(rr.gain, 8, 8)
+                cr = grid.cell_row(int(rr.cell_id))
+                cc = grid.cell_col(int(rr.cell_id))
+                ys, xs = np.nonzero(~np.isnan(g))
+                for y, x in zip(ys, xs):
+                    rows.append({
+                        "r": int(cr * 8 + y), "c": int(cc * 8 + x),
+                        # np.round on the float64 view of the float32 gain —
+                        # verified to agree with DuckDB ROUND on this range
+                        "gain": float(np.round(np.float64(g[y, x]), 4)),
+                    })
+            yield pd.DataFrame(rows, columns=["r", "c", "gain"])
+
+    return (fused.select("cell_id", "gain")
+            .mapInPandas(explode_px, schema="r int, c int, gain double")
+            .orderBy("r", "c"))
+
+
+ORACLE_FUSE_GAIN_K1 = """
+WITH px AS (
+  SELECT r, c, CAST(1 + ((r * 10 + c) % 200) AS DOUBLE) AS v
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
+  -- combined valid interior: ref 1-px NaN border ∪ src 2-src-px (=1 proc px)
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+)
+SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+       ROUND(v / ((v + 2.0) / 2.0), 4) AS gain
+FROM px ORDER BY r, c
+"""
+
+
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode path, ORACLE-CHECKED: render each embedding as a
+    deterministically-quantized 8×8 greyscale PNG (pure-python codec,
+    ``homonim_spark.pngio``), run the multimodal feature extractor over the
+    compressed payloads, and emit per-image mean pixel values.  DuckDB
+    reproduces the mean from the raw embeddings (floor((clip(x,-1,1)+1)
+    ·127.5) — floor, not round, so float semantics match exactly), which
+    pins the encode→decode round-trip numerically."""
+    import numpy as np
+    import pandas as pd
+    from homonim_spark.operators.multimodal import media_features
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def to_png(batches):
+        from homonim_spark.pngio import write_png
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = np.asarray(list(r.embedding), dtype=np.float64)
+                q = np.clip(np.floor((np.clip(v, -1.0, 1.0) + 1.0) * 127.5),
+                            0, 255).astype(np.uint8)
+                rows.append({"media_ref": f"png://{int(r.vec_id):06d}",
+                             "h": 8, "w": 8, "data": write_png(q.reshape(8, 8))})
+            yield pd.DataFrame(rows, columns=["media_ref", "h", "w", "data"])
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        to_png, schema="media_ref string, h int, w int, data binary")
+    feats = media_features(media, codec="png")
+    return (feats.select("media_ref", "width", "height",
+                         F.round("mean", 6).alias("mean_px"))
+            .orderBy("media_ref"))
+
+
+ORACLE_MEDIA_FEATURES_PNG = """
+SELECT 'png://' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS media_ref,
+       8 AS width, 8 AS height,
+       ROUND(list_aggregate(list_transform(embedding,
+           x -> least(floor((least(greatest(CAST(x AS DOUBLE), -1), 1) + 1) * 127.5),
+                      255)), 'avg'), 6) AS mean_px
+FROM embeddings WHERE vec_id < 64 ORDER BY media_ref
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homonim_spark.operators.textops import text_profile
     docs = _t(spark, sf_dir, "documents")
@@ -745,6 +847,36 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_NEARDUP = ORACLE_NGRAM_JACCARD.replace(">= 0.5", ">= 0.8")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: the 64-bit signature depends on
+    Spark's xxhash64, which DuckDB cannot reproduce; semantics are pinned by
+    tests/test_textops.py against planted near/exact duplicates).  Exercises
+    the exact-dup collapse + pigeonhole chunk banding at the driver gate."""
+    from homonim_spark.operators.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return (simhash_near_duplicates(docs, max_hamming=3)
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (rows-only: approximate by design; recall
+    vs the exact similarity_topk is pinned in tests/test_textops.py)."""
+    from homonim_spark.operators.similarity import lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, dim=64, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only): hash-filter centroid training +
+    nprobe inverted-list search — the 100 TB ANN scale path."""
+    from homonim_spark.operators.similarity import ivf_topk, train_ivf_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_centroids=8, iters=3)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, C, k=5, nprobe=2).orderBy("query_id", "rank")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,10 +1076,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
         # raster pipeline (rows-only; numerics covered in tests/)
         "fuse_gain": _fuse_query("gain", (5, 5)),
+        "fuse_gain_k1": q_fuse_gain_k1,
         "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
@@ -955,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "span_text_profile": q_span_text_profile,
         "media_features": q_media_features,
+        "media_features_png": q_media_features_png,
         "vectorize_params": q_vectorize_params,
         "pip_assign": q_pip_assign,
         "knn_cells": q_knn_cells,
@@ -988,4 +1125,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        "media_features_png": ORACLE_MEDIA_FEATURES_PNG,
+        "fuse_gain_k1": ORACLE_FUSE_GAIN_K1,
     }
