@@ -158,18 +158,44 @@ def _coarsen_level(tiles: DataFrame, tile_px: int, value_col: str) -> DataFrame:
         coarsen, schema=_OVERVIEW_SCHEMA)
 
 
+def overview_level_count(shape: tuple, max_levels: int = 8,
+                         min_px: int = 256) -> int:
+    """The reference's overview stop rule (``fuse.py:151-165``): levels are
+    successive powers of 2, limited so the highest level keeps at least
+    ``min_px`` pixels along the shortest dimension and there are at most
+    ``max_levels`` levels."""
+    import numpy as np
+    if min(shape) < 1:
+        return 0
+    max_ovw = int(np.floor(np.log2(min(shape))))
+    return max(0, min(int(max_levels), max_ovw - int(np.log2(min_px))))
+
+
 def build_overviews(
     tiles: DataFrame, tile_px: int, value_col: str = "data",
     max_levels: int = 8, min_px: int = 256,
 ) -> list[DataFrame]:
-    """S9: overview pyramid — up to ``max_levels`` half-resolution levels,
-    stopping when a level's full image would drop under ``min_px`` is the
-    caller's concern (the reference's rule, ``fuse.py:151-165``); here each
-    returned DataFrame is one level, lazily defined, each a single
-    4-rows-per-group shuffle."""
+    """S9: overview pyramid with the reference's stop rule
+    (``/root/reference/homonim/fuse.py:151-165``) enforced per image:
+    each image gets ``min(max_levels, floor(log2(min_shape)) −
+    log2(min_px))`` levels, computed from tile metadata (one metadata-scale
+    aggregate — payloads never reach the driver).  Each returned DataFrame
+    is one level, lazily defined, one 4-rows-per-group shuffle per level;
+    images whose rule stops earlier simply drop out of deeper levels."""
+    row, col = grid.cell_row_col_expr(F.col("cell_id"))
+    ext = (tiles.groupBy("image_id")
+           .agg((F.max(row) - F.min(row) + 1).alias("ch"),
+                (F.max(col) - F.min(col) + 1).alias("cw"))
+           .collect())
+    n_levels = {r["image_id"]: overview_level_count(
+        (r["ch"] * tile_px, r["cw"] * tile_px), max_levels, min_px)
+        for r in ext}
+    total = max(n_levels.values(), default=0)
     levels = []
     cur = tiles if value_col == "data" else tiles.withColumnRenamed(value_col, "data")
-    for _ in range(max_levels):
-        cur = _coarsen_level(cur, tile_px, "data")
+    for i in range(total):
+        live = [img for img, n in n_levels.items() if n >= i + 1]
+        cur = _coarsen_level(cur.filter(F.col("image_id").isin(live)),
+                             tile_px, "data")
         levels.append(cur)
     return levels

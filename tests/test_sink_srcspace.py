@@ -51,9 +51,11 @@ def test_write_corrected_roundtrip(spark, fused, tmp_path):
 
 def test_overview_pyramid(spark, fused):
     spec, tiles_pdf, fdf = fused
+    # min_px=8 so the 32×64-px fixture passes the reference stop rule
+    # (floor(log2(32)) − log2(8) = 2 levels available, capped at 1)
     levels = build_overviews(fdf.select("image_id", "band", "cell_id",
                                         F.col("gain").alias("data")), 16,
-                             max_levels=1)
+                             max_levels=1, min_px=8)
     l1 = levels[0].toPandas()
     # 2x4 cells → parents at res-1: rows 0, cols 0..1 → 2 tiles
     assert len(l1) == 2
@@ -132,3 +134,31 @@ def test_src_space_fuse(spark, factor):
         for col in ("gain", "offset", "corr"):
             for x, y in zip(a[col], b[col]):
                 assert x == y  # identical grids ⇒ identical numerics
+
+
+def test_overview_stop_rule_level_counts():
+    """Reference _build_overviews semantics (fuse.py:151-165): levels =
+    min(max_levels, floor(log2(min_shape)) - log2(min_px))."""
+    from homonim_spark.operators.sink import overview_level_count
+    # 1024x2048 image, min_px 256: floor(log2(1024))=10, log2(256)=8 -> 2
+    assert overview_level_count((1024, 2048)) == 2
+    # huge image: capped at max_levels
+    assert overview_level_count((2 ** 20, 2 ** 20)) == 8
+    # image smaller than min_px: no overviews
+    assert overview_level_count((128, 4096)) == 0
+    assert overview_level_count((256, 256)) == 0   # log2(256)-8 = 0
+    assert overview_level_count((512, 512)) == 1
+    assert overview_level_count((1024, 1024), max_levels=1) == 1
+
+
+def test_overview_stop_rule_per_image(spark, fused):
+    """Images below the min-px rule drop out of the pyramid entirely."""
+    spec, tiles_pdf, fdf = fused
+    levels = build_overviews(fdf.select("image_id", "band", "cell_id",
+                                        F.col("gain").alias("data")), 16,
+                             max_levels=8, min_px=256)
+    assert levels == []  # 32x64-px fixture: rule says zero levels
+    levels = build_overviews(fdf.select("image_id", "band", "cell_id",
+                                        F.col("gain").alias("data")), 16,
+                             max_levels=8, min_px=8)
+    assert len(levels) == 2  # floor(log2(32)) - 3 = 2
