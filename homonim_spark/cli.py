@@ -24,7 +24,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--documents", required=True, help="documents parquet path")
     p.add_argument("--tiles", required=True, help="tile-payload parquet path")
     p.add_argument("--master", default=None)
-    p.add_argument("--proc-crs", default="ref", choices=["ref", "src", "auto"])
+    p.add_argument("--proc-crs", default="auto", choices=["ref", "src", "auto"])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,21 +43,47 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--dtype", default="float32")
     f.add_argument("--nodata", type=float, default=None)
     f.add_argument("--chunk", type=int, default=4)
+    f.add_argument("--conf", default=None, metavar="YAML",
+                   help="yaml config; fills parameters not given on the "
+                        "command line (reference cli.py:88-117 semantics)")
 
     c = sub.add_parser("compare", help="src vs ref similarity statistics")
     _add_common(c)
     c.add_argument("--output", default=None, help="write stats JSON here too")
+    c.add_argument("--report", default="json", choices=["json", "table"],
+                   help="stdout format (table = the reference's text tables)")
 
     s = sub.add_parser("stats", help="parameter-image statistics")
     s.add_argument("--params", required=True, help="fused/param parquet path")
     s.add_argument("--model", default="gain-blk-offset")
     s.add_argument("--master", default=None)
     s.add_argument("--output", default=None)
+    s.add_argument("--report", default="json", choices=["json", "table"])
     return ap
 
 
+def _emit_stats(stats: list, args) -> None:
+    """stdout in the chosen format; ``--output`` always gets JSON (the
+    reference's --output JSON dump, ``cli.py:601-604``)."""
+    out_json = json.dumps(stats, default=str)
+    if getattr(args, "report", "json") == "table":
+        from homonim_spark.report import format_table
+        print(format_table(stats))
+    else:
+        print(out_json)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_json)
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
     args = build_parser().parse_args(argv)
+    if getattr(args, "conf", None):
+        from homonim_spark.report import merge_cli_config
+        merge_cli_config(args, argv, args.conf,
+                         parser_dests=[d for d in vars(args) if d != "conf"])
     from homonim_spark.session import get_spark
     spark = get_spark(app_name=f"homonim-spark-{args.cmd}", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
@@ -97,21 +123,13 @@ def main(argv=None) -> int:
         from homonim_spark.operators.compare import compare_with_mean
         tiles = spark.read.parquet(args.tiles)
         stats = compare_with_mean(tiles).toPandas().to_dict(orient="records")
-        out = json.dumps(stats, default=str)
-        print(out)
-        if args.output:
-            with open(args.output, "w") as fh:
-                fh.write(out)
+        _emit_stats(stats, args)
 
     elif args.cmd == "stats":
         from homonim_spark.operators.stats import param_stats
         fused = spark.read.parquet(args.params)
         stats = param_stats(fused, model=args.model).toPandas().to_dict(orient="records")
-        out = json.dumps(stats, default=str)
-        print(out)
-        if args.output:
-            with open(args.output, "w") as fh:
-                fh.write(out)
+        _emit_stats(stats, args)
 
     spark.stop()
     return 0

@@ -100,3 +100,51 @@ def test_cli_fuse_compare_stats(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     cmp_stats = json.loads(r3.stdout.strip().splitlines()[-1])
     assert any(abs(s["r2"] - 1.0) < 1e-6 for s in cmp_stats)
+
+
+def test_cli_yaml_conf_and_table_report(tmp_path):
+    """--conf yaml fills parameters not given on the command line (reference
+    FuseCommand semantics, cli.py:88-117) and --report table emits the
+    reference-style text table."""
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(
+        datagen.RasterFixtureSpec(pair_id="cf", cells=(2, 2), tile=16, factor=2))
+    ddir, tdir = str(tmp_path / "docs.parquet"), str(tmp_path / "tiles.parquet")
+    docs_pdf.to_parquet(ddir)
+    tiles_pdf.to_parquet(tdir)
+    out = str(tmp_path / "out")
+    conf = tmp_path / "fuse.yaml"
+    conf.write_text("model: gain\nkernel: [3, 3]\nfind_r2: true\n")
+
+    # --model on the CLI wins over the config; kernel/find_r2 come from yaml
+    r = subprocess.run(
+        [sys.executable, "-m", "homonim_spark.cli", "fuse", "--documents", ddir,
+         "--tiles", tdir, "--out", out, "--model", "gain-offset",
+         "--conf", str(conf), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.load(open(f"{out}/MANIFEST.json"))
+    assert manifest["FUSE_MODEL"] == "gain-offset"   # CLI wins
+    assert manifest["FUSE_KERNEL_SHAPE"] == [3, 3]   # yaml fills default
+
+    # unknown config key → nonzero exit with the reference's message shape
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("no_such_param: 1\n")
+    rbad = subprocess.run(
+        [sys.executable, "-m", "homonim_spark.cli", "fuse", "--documents", ddir,
+         "--tiles", tdir, "--out", out, "--conf", str(bad), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert rbad.returncode != 0
+    assert "no_such_param" in (rbad.stderr + rbad.stdout)
+
+    # text table report
+    r2 = subprocess.run(
+        [sys.executable, "-m", "homonim_spark.cli", "stats", "--params",
+         f"{out}/params", "--model", "gain-offset", "--report", "table",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    body = r2.stdout
+    lines = [l for l in body.splitlines() if l.strip()]
+    hdr = next(i for i, l in enumerate(lines) if l.split()[:2] == ["image_id", "band"])
+    assert set(lines[hdr + 1]) <= {"-", " "}  # dashed rule under the header
+    assert any("gain" in l for l in lines[hdr + 2:])
