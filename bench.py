@@ -45,10 +45,18 @@ def main() -> None:
     from homonim_spark.session import get_spark
     import __spark_entry__ as entry
 
+    extra = {"spark.driver.memory":
+             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")}
+    if os.path.isdir("/dev/shm"):
+        # single-box stand-in for node-local NVMe shuffle (which scales
+        # with executor count on a real cluster) — with disk shuffle a
+        # parallelism-independent per-rep floor appears; see
+        # BENCH/BASELINE.md round-2 measurement notes
+        extra.update({"spark.local.dir": "/dev/shm/spark-bench",
+                      "spark.shuffle.compress": "false",
+                      "spark.shuffle.spill.compress": "false"})
     spark = get_spark(app_name="homonim-spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=4 * int(cpus),
-                      extra_conf={"spark.driver.memory":
-                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
+                      shuffle_partitions=4 * int(cpus), extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

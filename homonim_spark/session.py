@@ -37,9 +37,15 @@ def get_spark(
         # exchange). Skew-join splitting stays on; partition counts are
         # sized explicitly via shuffle.partitions instead.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        # Arrow is the only Python<->JVM path the engine uses
+        # Arrow is the only Python<->JVM path the engine uses.
+        # Batch size: tile rows are ~40-300 KB of binary payload, so the
+        # 10k default (and even 2048) builds multi-hundred-MB Arrow batches
+        # that thrash the allocator on both sides of the socket. 256 rows
+        # ≈ 10-80 MB per batch — measured 30-40% faster on the fuse group
+        # stage at local[8] (see BENCH/BASELINE.md round 2).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
         # binary tile payloads make rows heavy; keep file partitions modest
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
