@@ -705,6 +705,57 @@ FROM embeddings WHERE vec_id < 64 ORDER BY media_ref
 """
 
 
+def q_media_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV (audio) decode path, ORACLE-CHECKED: render each embedding as a
+    64-frame 16-bit PCM mono WAV (stdlib ``wave``), decode through the
+    multimodal feature extractor, and emit mean sample values.  Samples are
+    floor(clip(x,−1,1)·32767)/32768 — dyadic rationals, so the float32
+    decode and the DuckDB float64 recomputation are bit-identical."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+    import pandas as pd
+    from homonim_spark.operators.multimodal import media_features
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+
+    def to_wav(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = np.asarray(list(r.embedding), dtype=np.float64)
+                s = np.floor(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16)
+                buf = io.BytesIO()
+                with wavemod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(s.tobytes())
+                rows.append({"media_ref": f"wav://{int(r.vec_id):06d}",
+                             "h": len(s), "w": 1, "data": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["media_ref", "h", "w", "data"])
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        to_wav, schema="media_ref string, h int, w int, data binary")
+    feats = media_features(media, codec="wav")
+    return (feats.select("media_ref",
+                         F.col("height").alias("n_frames"),
+                         F.col("width").alias("n_channels"),
+                         F.round("mean", 6).alias("mean_sample"))
+            .orderBy("media_ref"))
+
+
+ORACLE_MEDIA_FEATURES_WAV = """
+SELECT 'wav://' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS media_ref,
+       64 AS n_frames, 1 AS n_channels,
+       ROUND(list_aggregate(list_transform(embedding,
+           x -> floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 32767.0)
+                / 32768.0), 'avg'), 6) AS mean_sample
+FROM embeddings WHERE vec_id < 64 ORDER BY media_ref
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homonim_spark.operators.textops import text_profile
     docs = _t(spark, sf_dir, "documents")
@@ -1092,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_text_profile": q_span_text_profile,
         "media_features": q_media_features,
         "media_features_png": q_media_features_png,
+        "media_features_wav": q_media_features_wav,
         "vectorize_params": q_vectorize_params,
         "pip_assign": q_pip_assign,
         "knn_cells": q_knn_cells,
@@ -1126,5 +1178,6 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "media_features_png": ORACLE_MEDIA_FEATURES_PNG,
+        "media_features_wav": ORACLE_MEDIA_FEATURES_WAV,
         "fuse_gain_k1": ORACLE_FUSE_GAIN_K1,
     }

@@ -5,9 +5,10 @@ the engine's tile model generalized.  Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` UDFs.
 
 Real codecs in this container: ``raw-f32`` (the engine's native float32-LE
-tile codec) and ``png`` (pure-python decoder/encoder, ``homonim_spark.pngio``
-— stdlib zlib, 8-bit grey/RGB/alpha).  Audio/video codecs are NOT available,
-so those decodes remain a clearly-marked ``NotImplementedError`` stub; the
+tile codec), ``png`` (pure-python decoder/encoder, ``homonim_spark.pngio``
+— stdlib zlib, 8-bit grey/RGB/alpha) and ``wav`` (stdlib ``wave``, PCM
+8/16/32-bit → float32 frames×channels).  Video codecs are NOT available, so
+that decode remains a clearly-marked ``NotImplementedError`` stub; the
 Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
 shape — is real and tested for all codecs.
 """
@@ -52,10 +53,28 @@ def decode_media(data: bytes, codec: str, h: int | None = None, w: int | None = 
         # real compressed-image decode: pure-python PNG (homonim_spark.pngio)
         from homonim_spark.pngio import read_png
         return read_png(bytes(data)).astype(np.float32)
+    if codec == "wav":
+        # real audio decode: stdlib wave module (PCM 8/16/32-bit);
+        # returns (n_frames, n_channels) float32 in [-1, 1)
+        import io
+        import wave
+        with wave.open(io.BytesIO(bytes(data)), "rb") as wf:
+            nch, sw, _, nframes = (wf.getnchannels(), wf.getsampwidth(),
+                                   wf.getframerate(), wf.getnframes())
+            raw = wf.readframes(nframes)
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif sw == 1:  # WAV 8-bit is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        return x.reshape(-1, nch)
     raise NotImplementedError(
-        f"codec {codec!r}: audio/video decode libraries are not available in "
-        "this container; plug a decoder in here (the Spark plumbing around "
-        "this function is complete — 'raw-f32' and 'png' are real)"
+        f"codec {codec!r}: video decode libraries are not available in this "
+        "container; plug a decoder in here (the Spark plumbing around this "
+        "function is complete — 'raw-f32', 'png' and 'wav' are real)"
     )
 
 

@@ -134,3 +134,32 @@ def test_decode_stub_raises_for_unknown_codec():
     from homonim_spark.operators.multimodal import decode_media
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "jpeg")
+
+
+def test_decode_media_png_and_wav_real():
+    """png and wav are REAL decode paths now (round-2): pixel/sample values
+    round-trip exactly through the pure-python codecs."""
+    import io
+    import wave
+
+    from homonim_spark.operators.multimodal import decode_media
+    from homonim_spark.pngio import write_png
+
+    img = (np.arange(48, dtype=np.uint8) * 5).reshape(6, 8)
+    out = decode_media(write_png(img), "png")
+    assert out.shape == (6, 8)
+    np.testing.assert_array_equal(out, img.astype(np.float32))
+
+    s = (np.arange(-8, 8, dtype=np.int16) * 1024)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(s.tobytes())
+    a = decode_media(buf.getvalue(), "wav")
+    assert a.shape == (8, 2)  # 16 samples interleaved over 2 channels
+    np.testing.assert_allclose(a.ravel(), s.astype(np.float32) / 32768.0)
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")
