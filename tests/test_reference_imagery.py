@@ -112,3 +112,58 @@ def test_real_imagery_grid_contract(spark, real_tiles):
     bad = tiles.filter(
         grid.cell_res_expr(F.col("cell_id")) != F.lit(RES)).count()
     assert bad == 0
+
+
+def test_real_mosaic_four_sources_one_job(spark):
+    """The reference's primary workflow: correct a multi-image aerial
+    mosaic (4 NGI files) against one satellite reference — each source is
+    its own image_id, all corrected in ONE Spark job (the reference loops
+    RasterFuse per file; the engine fuses the whole batch in one plan)."""
+    src_files = [f"/root/reference/tests/data/source/ngi_rgb_byte_{i}.tif"
+                 for i in (1, 2, 3, 4)]
+    rows = []
+    for i, p in enumerate(src_files, 1):
+        rows += _image_rows(p, f"ngi{i}", "src", nodata=0.0)
+    raw_src = spark.createDataFrame(pd.DataFrame(rows))
+    src = regrid_tiles(raw_src, RES, SRC_TILE)
+
+    # one reference scene, re-keyed per source image (the engine pairs on
+    # image_id; a broadcast-size metadata op)
+    ref_rows = _image_rows(REF_TIF, "ref", "ref", nodata=0.0)
+    ref_all = regrid_tiles(spark.createDataFrame(pd.DataFrame(ref_rows)),
+                           RES, REF_TILE)
+    images = [f"ngi{i}" for i in (1, 2, 3, 4)]
+    ref = ref_all.drop("image_id").crossJoin(
+        spark.createDataFrame(pd.DataFrame({"image_id": images})))
+    tiles = src.unionByName(ref.select(*src.columns))
+    tiles = tiles.join(tiles.filter("role = 'src'")
+                       .select("image_id", "cell_id").distinct(),
+                       ["image_id", "cell_id"], "left_semi").cache()
+
+    docs = spark.createDataFrame(pd.DataFrame([{
+        "doc_id": f"doc-{img}",
+        "spans": [{"kind": "media", "text": "", "media_ref": m, "offset": j}
+                  for j, m in enumerate(
+                      r["media_ref"] for r in tiles
+                      .filter(F.col("image_id") == img)
+                      .select("media_ref").collect())],
+    } for img in images]))
+
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).cache()
+    out_images = {r["image_id"] for r in fused.select("image_id").distinct().collect()}
+    assert out_images == set(images)
+
+    corr = (tiles.filter("role = 'src'").drop("data", "h", "w")
+            .join(fused.select("media_ref", F.col("corr").alias("data"),
+                               F.lit(SRC_TILE).alias("h"),
+                               F.lit(SRC_TILE).alias("w")),
+                  "media_ref", "inner"))
+    after_tiles = corr.select(*tiles.columns).unionByName(
+        tiles.filter("role = 'ref'"))
+    before = compare(tiles).toPandas().set_index(["image_id", "band"])
+    after = compare(after_tiles).toPandas().set_index(["image_id", "band"])
+    for img in images:
+        for band in (0, 1, 2):
+            assert after.loc[(img, band), "r2"] > 0.8, (img, band)
+            assert (after.loc[(img, band), "r2"]
+                    > before.loc[(img, band), "r2"] + 0.05)
