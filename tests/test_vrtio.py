@@ -111,3 +111,74 @@ def test_vrt_mosaic_fuse_end_to_end(spark):
     after = compare(corr.select(*tiles.columns)
                     .unionByName(tiles.filter("role = 'ref'"))).toPandas()
     assert (after["r2"] > 0.8).all(), after
+
+
+def test_band_matched_fuse_against_real_landsat(spark):
+    """J2–J4 + fuse over REAL data: the 3-band NGI aerial source fuses
+    against the 24-band Landsat-8 surface-reflectance stack; the band map
+    comes from the VRT's real center_wavelength metadata (RGB imputation on
+    the source side), and only the matched SR_B4/SR_B3/SR_B2 reference
+    bands enter the pairing."""
+    from pyspark.sql import functions as F
+
+    from homonim_spark.operators.compare import compare
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.ingest import regrid_tiles
+    from homonim_spark.operators.matching import match_bands
+    from homonim_spark.tiles import encode_tile
+    from tests.test_reference_imagery import _image_rows
+
+    RES11, REF_T, SRC_T = 11, 16, 64      # cell 512 m: ref 32 m/px, src 8 m/px
+    LANDSAT_TIF = "/root/reference/tests/data/reference/landsat8_byte.tif"
+    NGI_TIF = "/root/reference/tests/data/source/ngi_rgb_byte_1.tif"
+
+    meta = vrt_band_metadata(LANDSAT_VRT)
+    ref_meta = pd.DataFrame([{
+        "band": m["band"] - 1, "name": m.get("name"),
+        "center_wavelength": m.get("center_wavelength")
+        if isinstance(m.get("center_wavelength"), float) else None,
+    } for m in meta])
+    src_meta = pd.DataFrame({"band": [0, 1, 2],
+                             "colorinterp": ["red", "green", "blue"]})
+    bm = match_bands(src_meta, ref_meta)
+    assert dict(zip(bm["src_band"], bm["ref_band"])) == {0: 3, 1: 2, 2: 1}
+
+    src_rows = _image_rows(NGI_TIF, "bm1", "src", nodata=0.0)
+    # regrid only the matched reference bands (the matcher prunes the scan)
+    ref_all = _image_rows(LANDSAT_TIF, "bm1", "ref", nodata=0.0)
+    wanted = set(bm["ref_band"])
+    ref_rows = [r for r in ref_all if r["band"] in wanted]
+    assert len(ref_rows) == 3
+
+    src = regrid_tiles(spark.createDataFrame(pd.DataFrame(src_rows)), RES11, SRC_T)
+    ref = regrid_tiles(spark.createDataFrame(pd.DataFrame(ref_rows)), RES11, REF_T)
+    tiles = src.unionByName(ref)
+    tiles = tiles.join(tiles.filter("role = 'src'").select("cell_id").distinct(),
+                       "cell_id", "left_semi").cache()
+
+    docs = spark.createDataFrame(pd.DataFrame([{
+        "doc_id": "bm1-doc",
+        "spans": [{"kind": "media", "text": "", "media_ref": m, "offset": i}
+                  for i, m in enumerate(
+                      r["media_ref"] for r in tiles.select("media_ref").collect())],
+    }]))
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 band_map=bm).cache()
+    assert fused.count() > 0
+    assert set(r["band"] for r in fused.select("band").distinct().collect()) \
+        == {0, 1, 2}  # output keyed by SOURCE bands
+
+    # compare in matched band space: re-key the ref tiles like the fuse did
+    from homonim_spark.operators.fuse import apply_band_map
+    matched_tiles = apply_band_map(tiles, bm).cache()
+    before = compare(matched_tiles).toPandas().set_index("band")
+    corr = (matched_tiles.filter("role = 'src'").drop("data", "h", "w")
+            .join(fused.select("media_ref", F.col("corr").alias("data"),
+                               F.lit(SRC_T).alias("h"), F.lit(SRC_T).alias("w")),
+                  "media_ref"))
+    after = compare(corr.select(*matched_tiles.columns)
+                    .unionByName(matched_tiles.filter("role = 'ref'"))
+                    ).toPandas().set_index("band")
+    for band in (0, 1, 2):
+        assert after.loc[band, "r2"] > before.loc[band, "r2"] + 0.05
+        assert after.loc[band, "r2"] > 0.7, (band, dict(after.loc[band]))
