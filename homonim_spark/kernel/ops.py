@@ -194,6 +194,10 @@ def upsample_bilinear_masked(arr: np.ndarray, factor: Tuple[int, int]) -> np.nda
     if fh == 1 and fw == 1:
         return arr.astype(np.float32, copy=True)
     valid = ~np.isnan(arr)
+    if valid.all():
+        # fully-valid fast path (the common interior-chunk case): one
+        # bilinear pass instead of value+weight passes + nearest mask
+        return upsample_bilinear(arr, factor)
     v = np.where(valid, arr, np.float32(0.0)).astype(np.float32)
     num = upsample_bilinear(v, factor)
     den = upsample_bilinear(valid.astype(np.float32), factor)
