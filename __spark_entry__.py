@@ -661,6 +661,56 @@ FROM px ORDER BY r, c
 """
 
 
+def q_raster_compare_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL raster compare path (A9/A10: tile decode → block-mean to
+    proc grid → float64 partial sums → PCC²/RMSE/rRMSE), ORACLE-CHECKED:
+    over the closed-form gradient pair every pixel value is a dyadic
+    rational (src = ((band+1)·v + 2)/2), so the float64 sums are EXACT and
+    DuckDB reproduces the statistics bit-for-bit from a generate_series
+    rebuild of the pixel table (rounded to 6 dp on both sides)."""
+    import pandas as pd
+    from homonim_spark import datagen
+    from homonim_spark.operators.compare import compare
+
+    spec = datagen.RasterFixtureSpec(pair_id="rc1", cells=(2, 2), tile=8,
+                                     factor=2, bands=2,
+                                     true_gain=2.0, true_offset=-2.0)
+    _, tiles_pdf = datagen.build_pair_tables(spec)
+    tiles = spark.createDataFrame(tiles_pdf)
+    out = compare(tiles)
+    return (out.select(F.col("band"),
+                       F.round("r2", 6).alias("r2"),
+                       F.round("rmse", 6).alias("rmse"),
+                       F.round("rrmse", 6).alias("rrmse"),
+                       F.col("n"))
+            .orderBy("band"))
+
+
+ORACLE_RASTER_COMPARE_K1 = """
+WITH px AS (
+  SELECT b.band AS band,
+         CAST((b.band + 1) * (1 + ((r * 10 + c) % 200)) AS DOUBLE) AS ref,
+         ((b.band + 1) * (1 + ((r * 10 + c) % 200)) + 2.0) / 2.0 AS src
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+), agg AS (
+  SELECT band, COUNT(*) AS n,
+         SUM(src) AS ss, SUM(ref) AS rs, SUM(src*src) AS s2,
+         SUM(ref*ref) AS r2s, SUM(src*ref) AS sr,
+         SUM(POW(ref - src, 2)) AS res2
+  FROM px GROUP BY band
+)
+SELECT CAST(band AS INT) AS band,
+       ROUND(POW((sr - n*(ss/n)*(rs/n)) /
+             (SQRT(s2 - n*(ss/n)*(ss/n)) * SQRT(r2s - n*(rs/n)*(rs/n))), 2), 6) AS r2,
+       ROUND(SQRT(res2 / n), 6) AS rmse,
+       ROUND(SQRT(res2 / n) / (rs / n), 6) AS rrmse,
+       CAST(n AS BIGINT) AS n
+FROM agg ORDER BY band
+"""
+
+
 def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode path, ORACLE-CHECKED: render each embedding as a
     deterministically-quantized 8×8 greyscale PNG (pure-python codec,
@@ -1135,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # raster pipeline (rows-only; numerics covered in tests/)
         "fuse_gain": _fuse_query("gain", (5, 5)),
         "fuse_gain_k1": q_fuse_gain_k1,
+        "raster_compare_k1": q_raster_compare_k1,
         "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
@@ -1180,4 +1231,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features_png": ORACLE_MEDIA_FEATURES_PNG,
         "media_features_wav": ORACLE_MEDIA_FEATURES_WAV,
         "fuse_gain_k1": ORACLE_FUSE_GAIN_K1,
+        "raster_compare_k1": ORACLE_RASTER_COMPARE_K1,
     }
