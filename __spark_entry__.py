@@ -661,6 +661,75 @@ FROM px ORDER BY r, c
 """
 
 
+def q_fuse_gain_offset_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT-SHAPE fuse fit ORACLE-CHECKED per-pixel: gain-offset
+    model, full 5×5 sliding kernel, through the whole distributed pipeline
+    (scan → pairing → halo → block-mean → integral-image OLS → tile emit).
+    DuckDB reproduces every fitted gain AND offset with a 25-neighbor
+    self-join OLS over the generate_series rebuild of the pixel table.  On
+    this fixture all values are dyadic rationals small enough that the
+    engine's float32 integral images are exact (verified: float32 result
+    == float64 OLS bit-for-bit), so both engines compute identical doubles."""
+    import numpy as np
+    import pandas as pd
+    from homonim_spark import datagen, grid
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.tiles import decode_tile
+
+    spec = datagen.RasterFixtureSpec(pair_id="go5", cells=(2, 2), tile=8,
+                                     factor=2, bands=1,
+                                     true_gain=2.0, true_offset=-2.0)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain-offset", kernel_shape=(5, 5),
+                 r2_inpaint_thresh=None)
+
+    def explode_px(batches):
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                g = decode_tile(rr.gain, 8, 8)
+                o = decode_tile(rr.offset, 8, 8)
+                cr = grid.cell_row(int(rr.cell_id))
+                cc = grid.cell_col(int(rr.cell_id))
+                ys, xs = np.nonzero(~np.isnan(g))
+                for y, x in zip(ys, xs):
+                    rows.append({
+                        "r": int(cr * 8 + y), "c": int(cc * 8 + x),
+                        "gain": float(np.round(np.float64(g[y, x]), 6)),
+                        "offset": float(np.round(np.float64(o[y, x]), 6)),
+                    })
+            yield pd.DataFrame(rows, columns=["r", "c", "gain", "offset"])
+
+    return (fused.select("cell_id", "gain", "offset")
+            .mapInPandas(explode_px, schema="r int, c int, gain double, offset double")
+            .orderBy("r", "c"))
+
+
+ORACLE_FUSE_GAIN_OFFSET_K5 = """
+WITH px AS (
+  SELECT r, c,
+         CAST(1 + ((r * 10 + c) % 200) AS DOUBLE) AS ref,
+         (1 + ((r * 10 + c) % 200) + 2.0) / 2.0 AS src
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+), nb AS (
+  SELECT a.r, a.c, b.src AS x, b.ref AS y
+  FROM px a JOIN px b
+    ON b.r BETWEEN a.r - 2 AND a.r + 2 AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM nb GROUP BY r, c
+)
+SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS gain,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS offset
+FROM agg ORDER BY r, c
+"""
+
+
 def q_raster_compare_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL raster compare path (A9/A10: tile decode → block-mean to
     proc grid → float64 partial sums → PCC²/RMSE/rRMSE), ORACLE-CHECKED:
@@ -1186,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_gain": _fuse_query("gain", (5, 5)),
         "fuse_gain_k1": q_fuse_gain_k1,
         "raster_compare_k1": q_raster_compare_k1,
+        "fuse_gain_offset_k5": q_fuse_gain_offset_k5,
         "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
@@ -1232,4 +1302,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features_wav": ORACLE_MEDIA_FEATURES_WAV,
         "fuse_gain_k1": ORACLE_FUSE_GAIN_K1,
         "raster_compare_k1": ORACLE_RASTER_COMPARE_K1,
+        "fuse_gain_offset_k5": ORACLE_FUSE_GAIN_OFFSET_K5,
     }
