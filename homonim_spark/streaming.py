@@ -193,3 +193,70 @@ def windowed_event_stats(
             "event_type", "n", "avg_value",
         )
     )
+
+
+def streaming_dedup_exact(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming exact dedup: emit each document only the FIRST time its
+    normalized-text fingerprint is seen across the whole stream — the
+    stateful twin of the batch ``dedup_exact`` operator, the core of an
+    incremental training-data ingest (new crawl shards arrive as
+    micro-batches; duplicates of anything already ingested are dropped).
+
+    ``applyInPandasWithState`` keyed by the md5 fingerprint: state is one
+    tiny row per distinct text (canonical doc_id + seen count), so the
+    state store scales with DISTINCT content, not stream volume — at
+    production scale the key space is hash-partitioned across executors'
+    RocksDB state stores.  ``state_timeout_ms`` > 0 expires fingerprints
+    (sliding-freshness dedup); 0 keeps them forever (exact semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from homonim_spark.operators.textops import normalize_text
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("n_dupes_so_far", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("canonical", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (fp,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["doc_id", "fingerprint",
+                                            "n_dupes_so_far"])
+            return
+        canonical, n_seen = (state.get if state.exists else (None, 0))
+        rows = []
+        for pdf in pdfs:
+            for doc_id in sorted(pdf["doc_id"]):
+                if canonical is None:
+                    canonical = doc_id
+                    rows.append((doc_id, fp, 0))
+                n_seen += 1
+        state.update((canonical, n_seen))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(rows, columns=["doc_id", "fingerprint",
+                                          "n_dupes_so_far"])
+
+    keyed = doc_stream.select(
+        "doc_id",
+        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))).alias("fingerprint"),
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_timeout_ms > 0 else GroupStateTimeout.NoTimeout),
+    )

@@ -163,3 +163,43 @@ def test_decode_media_png_and_wav_real():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps one doc per distinct normalized text
+    ACROSS micro-batches: a duplicate arriving in a later batch is dropped
+    because its fingerprint lives in the state store."""
+    import pandas as pd
+
+    from homonim_spark.streaming import streaming_dedup_exact
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id string, text string"
+    b1 = pd.DataFrame([("a1", "the quick brown fox"),
+                       ("a2", "The  quick BROWN fox "),   # dup of a1 (normalized)
+                       ("b1", "something else entirely")],
+                      columns=["doc_id", "text"])
+    spark.createDataFrame(b1, schema).write.parquet(f"{in_dir}/batch1")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1").parquet(f"{in_dir}/*")
+        return (streaming_dedup_exact(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir).option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    run_once().awaitTermination(120)
+    kept1 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(kept1["doc_id"]) == ["a1", "b1"]  # a2 deduped in-batch
+
+    # later micro-batch: dup of a1 plus one new doc
+    b2 = pd.DataFrame([("c1", "the quick brown fox"),     # dup ACROSS batches
+                       ("d1", "a genuinely new document")],
+                      columns=["doc_id", "text"])
+    spark.createDataFrame(b2, schema).write.parquet(f"{in_dir}/batch2")
+    run_once().awaitTermination(120)
+    kept2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(kept2["doc_id"]) == ["a1", "b1", "d1"]  # c1 dropped by state
