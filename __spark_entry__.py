@@ -730,6 +730,61 @@ FROM agg ORDER BY r, c
 """
 
 
+def q_overview_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 overview build ORACLE-CHECKED: one pyramid level over the
+    closed-form gradient — each level-1 pixel is the NaN-aware mean of its
+    2×2 children, which DuckDB reproduces from generate_series.  Only
+    fully-valid interior pixels are emitted (partial border blocks divide
+    by 1-3 → non-dyadic float32 values; interior /4 is exact)."""
+    import numpy as np
+    import pandas as pd
+    from homonim_spark import datagen, grid
+    from homonim_spark.operators.sink import build_overviews
+    from homonim_spark.tiles import decode_tile
+
+    spec = datagen.RasterFixtureSpec(pair_id="ov1", cells=(2, 2), tile=8,
+                                     factor=1, bands=1, nan_border_src=1)
+    _, tiles_pdf = datagen.build_pair_tables(spec)
+    ref = spark.createDataFrame(tiles_pdf).filter(F.col("role") == "ref")
+    levels = build_overviews(ref.select("image_id", "band", "cell_id",
+                                        "h", "w", "data"),
+                             tile_px=8, max_levels=1, min_px=8)
+    lvl1 = levels[0]
+
+    def explode_px(batches):
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                a = decode_tile(rr.data, 8, 8)
+                pr0 = grid.cell_row(int(rr.cell_id)) * 8
+                pc0 = grid.cell_col(int(rr.cell_id)) * 8
+                for y in range(8):
+                    for x in range(8):
+                        if 1 <= pr0 + y <= 6 and 1 <= pc0 + x <= 6 \
+                                and not np.isnan(a[y, x]):
+                            rows.append({"r": pr0 + y, "c": pc0 + x,
+                                         "val": float(np.float64(a[y, x]))})
+            yield pd.DataFrame(rows, columns=["r", "c", "val"])
+
+    return (lvl1.select("cell_id", "data")
+            .mapInPandas(explode_px, schema="r int, c int, val double")
+            .orderBy("r", "c"))
+
+
+ORACLE_OVERVIEW_LEVEL1 = """
+WITH px AS (
+  SELECT r, c, CAST(1 + ((r * 10 + c) % 200) AS DOUBLE) AS v
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+)
+SELECT CAST(r // 2 AS INT) AS r, CAST(c // 2 AS INT) AS c,
+       AVG(v) AS val
+FROM px GROUP BY r // 2, c // 2
+HAVING COUNT(*) = 4 AND (r // 2) BETWEEN 1 AND 6 AND (c // 2) BETWEEN 1 AND 6
+ORDER BY r, c
+"""
+
+
 def q_raster_compare_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL raster compare path (A9/A10: tile decode → block-mean to
     proc grid → float64 partial sums → PCC²/RMSE/rRMSE), ORACLE-CHECKED:
@@ -1255,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_gain": _fuse_query("gain", (5, 5)),
         "fuse_gain_k1": q_fuse_gain_k1,
         "raster_compare_k1": q_raster_compare_k1,
+        "overview_level1": q_overview_level1,
         "fuse_gain_offset_k5": q_fuse_gain_offset_k5,
         "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
@@ -1302,5 +1358,6 @@ def oracle_sql() -> dict[str, str]:
         "media_features_wav": ORACLE_MEDIA_FEATURES_WAV,
         "fuse_gain_k1": ORACLE_FUSE_GAIN_K1,
         "raster_compare_k1": ORACLE_RASTER_COMPARE_K1,
+        "overview_level1": ORACLE_OVERVIEW_LEVEL1,
         "fuse_gain_offset_k5": ORACLE_FUSE_GAIN_OFFSET_K5,
     }
