@@ -730,6 +730,89 @@ FROM agg ORDER BY r, c
 """
 
 
+def q_fuse_gain_blk_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE-metric model ORACLE-CHECKED per-pixel: gain-blk-offset,
+    5×5 kernel, chunk=1 — scan → pairing → halo → block-norm
+    (std + 1st percentile, reference ``kernel_model.py:216-229``) →
+    sliding gain fit → fold (``kernel_model.py:276-303``) → tile emit.
+
+    The fixture (``datagen.build_blknorm_tables``) makes every float32
+    intermediate exact: per-chunk two-value checkerboards with equal counts
+    give exact ``np.std``/``np.percentile``, and exactly-affine
+    ``ref = G·src + C`` gives a sliding gain fit of exactly 1.0, so the
+    folded params are exactly (G, C) per chunk.  DuckDB genuinely recomputes
+    the block norm with ``stddev_pop`` + ``quantile_cont(0.01)`` and the
+    5×5 window sums in float64 — identical doubles, no tolerance needed."""
+    import numpy as np
+    import pandas as pd
+    from homonim_spark import datagen, grid
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.tiles import decode_tile
+
+    docs_pdf, tiles_pdf = datagen.build_blknorm_tables()
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 chunk=1)
+
+    def explode_px(batches):
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                g = decode_tile(rr.gain, 16, 16)
+                o = decode_tile(rr.offset, 16, 16)
+                cr = grid.cell_row(int(rr.cell_id))
+                cc = grid.cell_col(int(rr.cell_id))
+                ys, xs = np.nonzero(~np.isnan(g))
+                for y, x in zip(ys, xs):
+                    rows.append({
+                        "r": int(cr * 16 + y), "c": int(cc * 16 + x),
+                        "gain": float(np.round(np.float64(g[y, x]), 6)),
+                        "offset": float(np.round(np.float64(o[y, x]), 6)),
+                    })
+            yield pd.DataFrame(rows, columns=["r", "c", "gain", "offset"])
+
+    return (fused.select("cell_id", "gain", "offset")
+            .mapInPandas(explode_px, schema="r int, c int, gain double, offset double")
+            .orderBy("r", "c"))
+
+
+ORACLE_FUSE_GAIN_BLK_OFFSET = """
+WITH base AS (
+  SELECT r, c, 2 * (r // 16) + (c // 16) AS cell
+  FROM generate_series(0, 31) t1(r), generate_series(0, 31) t2(c)
+  WHERE (r % 16) BETWEEN 3 AND 12 AND (c % 16) BETWEEN 3 AND 12
+), px AS (
+  SELECT r, c, cell,
+         CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE) AS src,
+         [2.0, 0.5, 1.5, 2.5][cell + 1]
+           * CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE)
+           + [3.0, -1.0, 0.5, 2.0][cell + 1] AS ref
+  FROM base
+), norm AS (
+  -- the reference's block 'normalisation' model (kernel_model.py:216-229):
+  -- g = std(ref)/std(src), c = pct1(ref) - pct1(src)·g, block-scoped
+  SELECT cell,
+         stddev_pop(ref) / stddev_pop(src) AS g_norm,
+         quantile_cont(ref, 0.01)
+           - quantile_cont(src, 0.01) * (stddev_pop(ref) / stddev_pop(src)) AS c_norm
+  FROM px GROUP BY cell
+), nb AS (
+  -- 5×5 sliding window (cross-cell reach impossible: interiors are ≥7px apart)
+  SELECT a.r, a.c, a.cell, b.src AS x, b.ref AS y
+  FROM px a JOIN px b ON b.r BETWEEN a.r - 2 AND a.r + 2
+                     AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, cell, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+  FROM nb GROUP BY r, c, cell
+)
+SELECT CAST(a.r AS INT) AS r, CAST(a.c AS INT) AS c,
+       ROUND((sy / (g_norm * sx + c_norm * n)) * g_norm, 6) AS gain,
+       ROUND((sy / (g_norm * sx + c_norm * n)) * c_norm, 6) AS offset
+FROM agg a JOIN norm nm ON nm.cell = a.cell
+ORDER BY r, c
+"""
+
+
 def q_overview_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 overview build ORACLE-CHECKED: one pyramid level over the
     closed-form gradient — each level-1 pixel is the NaN-aware mean of its
@@ -1312,7 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_compare_k1": q_raster_compare_k1,
         "overview_level1": q_overview_level1,
         "fuse_gain_offset_k5": q_fuse_gain_offset_k5,
-        "fuse_gain_blk_offset": _fuse_query("gain-blk-offset", (5, 5)),
+        "fuse_gain_blk_offset": q_fuse_gain_blk_offset,
+        "fuse_gain_blk_offset_stats": _fuse_query("gain-blk-offset", (5, 5)),
         "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
         "raster_compare": q_raster_compare,
@@ -1360,4 +1444,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_compare_k1": ORACLE_RASTER_COMPARE_K1,
         "overview_level1": ORACLE_OVERVIEW_LEVEL1,
         "fuse_gain_offset_k5": ORACLE_FUSE_GAIN_OFFSET_K5,
+        "fuse_gain_blk_offset": ORACLE_FUSE_GAIN_BLK_OFFSET,
     }

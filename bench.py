@@ -72,14 +72,22 @@ def main() -> None:
     # improving for several reps, so run until converged (last rep within
     # 8% of the best), then report the min = steady-state throughput.
     fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
+    # Robust protocol (round-2 verdict): MINIMUM 4 timed reps after warm-up —
+    # on a host with documented ~5× weather swings, two consecutive slow reps
+    # can otherwise freeze a cold number far from steady state.  The
+    # convergence break applies only on top of the 4-rep floor; per-rep times
+    # and /proc/loadavg go into the JSON so a noisy sample is
+    # self-identifying.
+    fuse_reps: list[float] = []
     fuse_sec, n_out = None, 0
-    for rep in range(8):
+    for rep in range(10):
         t0 = time.perf_counter()
         n_out = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5)).count()
         dt = time.perf_counter() - t0
+        fuse_reps.append(round(dt, 3))
         prev = fuse_sec  # compare vs pre-update best: a new-minimum rep must
         fuse_sec = dt if fuse_sec is None else min(fuse_sec, dt)
-        if rep >= 2 and prev is not None and dt <= prev * 1.08:
+        if rep >= 3 and prev is not None and dt <= prev * 1.08:
             break  # converged: rep did not beat the prior best by >8%
     timings["fuse_gain_blk_offset_5x5"] = round(fuse_sec, 3)
     tiles_per_sec = n_out / fuse_sec if fuse_sec > 0 else 0.0
@@ -122,6 +130,11 @@ def main() -> None:
     timings["embedding_neardup_lsh"] = round(time.perf_counter() - t0, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg = fh.read().split()[:3]
+    except OSError:
+        loadavg = None
     out = {
         "metric": "tiles corrected/sec (gain-blk-offset, 5x5 kernel) + operator suite seconds",
         "value": round(sum(timings.values()), 3),
@@ -131,6 +144,8 @@ def main() -> None:
         "tiles_corrected_per_sec": round(tiles_per_sec, 1),
         "fuse_output_tiles": n_out,
         "fuse_src_tiles": n_src_tiles,
+        "fuse_reps": fuse_reps,
+        "loadavg": loadavg,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

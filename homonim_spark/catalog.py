@@ -149,11 +149,19 @@ class TableCatalog:
     def snapshots(self, table: str) -> list[dict]:
         """Snapshot log (id, mode, committed_at, properties), oldest first."""
         if self.catalog is not None:
+            # missing table → empty log on both backends (first pipeline run
+            # against a fresh catalog must start clean, not crash in resume)
+            if not self.spark.catalog.tableExists(self._ident(table)):
+                return []
             # normalized to the fallback schema (operation→mode, summary map
             # → properties) so checkpoint-resume callers work on both backends
+            # (ordered by (committed_at, snapshot_id): committed_at has ms
+            # granularity, so rapid commits can tie — the id breaks the tie
+            # deterministically)
             rows = self.spark.sql(
                 f"SELECT snapshot_id, committed_at, operation, summary "
-                f"FROM {self._ident(table)}.snapshots ORDER BY committed_at"
+                f"FROM {self._ident(table)}.snapshots "
+                f"ORDER BY committed_at, snapshot_id"
             ).collect()
             return [{
                 "snapshot_id": r["snapshot_id"],

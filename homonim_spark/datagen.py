@@ -319,6 +319,76 @@ def distributed_fixture(
     return docs, tiles
 
 
+# --- block-norm oracle fixture ----------------------------------------------
+
+#: per-cell (src_low, true_gain, true_offset) for the gain-blk-offset oracle
+#: fixture; the two-value gap d is 2 throughout.  Values chosen so every
+#: float32 intermediate of the block-norm fit is EXACT (see
+#: ``build_blknorm_tables``).
+BLKNORM_CELL_PARAMS = ((4.0, 2.0, 3.0), (6.0, 0.5, -1.0),
+                       (8.0, 1.5, 0.5), (10.0, 2.5, 2.0))
+
+
+def build_blknorm_tables(
+    pair_id: str = "blk", tile: int = 16, border: int = 3,
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """2×2-cell src/ref pair designed so the gain-blk-offset fit
+    (``kernel/models.py:fit_gain_blk_offset``, reference
+    ``/root/reference/homonim/kernel_model.py:216-229,276-303``) is EXACT in
+    float32 and therefore reproducible bit-for-bit by a float64 DuckDB
+    rebuild:
+
+    - Each cell's valid pixels are a two-value checkerboard ``{a, a+2}``
+      with equal counts (interior 10×10 → 50/50), so ``np.std`` is exactly
+      ``d/2 = 1`` (mean ``a+1`` is representable → correctly-rounded
+      division returns it exactly; deviations are ±1) and the 1st
+      percentile is exactly the low value (index 0.99 interpolates between
+      two copies of ``a``).
+    - ``ref = G·src + C`` pointwise with small dyadic ``G``/``C``, so the
+      normalised source equals the reference bit-for-bit and the sliding
+      gain fit is exactly 1.0 → folded params are exactly ``(G, C)``.
+    - Each tile carries a ``border``-px NaN ring ≥ the 5×5 kernel halo
+      (ceil(5/2)=3), so with ``chunk=1`` every chunk's valid data is its own
+      cell's pattern only — per-chunk block-norm scoping is pinned (mixing
+      chunks would change the std ratio).
+    """
+    cells = 2
+    interior = tile - 2 * border
+    assert interior % 2 == 0, "interior must be even for exact 50/50 counts"
+    tile_rows: List[dict] = []
+    doc_rows: List[dict] = []
+    px_sz = grid.cell_size(FIXTURE_RES) / tile
+    y, x = np.mgrid[0:tile, 0:tile]
+    interior_mask = ((y >= border) & (y <= tile - border - 1)
+                     & (x >= border) & (x <= tile - border - 1))
+    checker = ((y + x) % 2).astype(np.float32)
+
+    for cr in range(cells):
+        spans: List[dict] = []
+        offset = 0
+        for cc in range(cells):
+            a, g, c = BLKNORM_CELL_PARAMS[2 * cr + cc]
+            src = np.where(interior_mask, np.float32(a) + 2.0 * checker,
+                           np.nan).astype(np.float32)
+            ref = (np.float32(g) * src + np.float32(c)).astype(np.float32)
+            cid = grid.cell_id(FIXTURE_RES, cr, cc)
+            for role, arr in (("ref", ref), ("src", src)):
+                mref = media_ref_str(pair_id, role, 0, cr, cc)
+                tile_rows.append({
+                    "media_ref": mref, "image_id": pair_id, "role": role,
+                    "band": 0, "cell_id": cid, "row": cr, "col": cc,
+                    "h": tile, "w": tile,
+                    "transform": [px_sz, 0.0, cc * grid.cell_size(FIXTURE_RES),
+                                  0.0, px_sz, cr * grid.cell_size(FIXTURE_RES)],
+                    "data": encode_tile(arr),
+                })
+                spans.append({"kind": "media", "text": "", "media_ref": mref,
+                              "offset": offset})
+                offset += 1
+        doc_rows.append({"doc_id": f"doc-{pair_id}-r{cr:04d}", "spans": spans})
+    return pd.DataFrame(doc_rows), pd.DataFrame(tile_rows)
+
+
 # --- spatial fixtures (FIXTURES.md §3) -------------------------------------
 
 def build_footprints(n: int = 8, res: int = FIXTURE_RES, seed: int = 42) -> pd.DataFrame:

@@ -275,37 +275,55 @@ def ivf_topk(
 
     At 100 TB the inverted file is the partition layout: candidate volume
     is corpus/n_centroids·nprobe per query instead of the full corpus.
-    Centroids are plan literals (JVM-side argmax — no Python at scan time).
+    Assignment is an Arrow-batched GEMM argmax over a closure-broadcast
+    centroid matrix — one (batch × dim) @ (dim × nlist) product per batch.
+    (The round-2 plan-literal CASE chain exploded the Catalyst plan at
+    realistic nlist ≥ 1024; the matrix form is O(1) plan size at any nlist.)
     """
-    def nearest_centroid(vec: Column) -> Column:
-        best_sim = F.lit(-2.0)
-        best_id = F.lit(0)
-        for i, cvec in enumerate(centroids):
-            plane = F.array(*[F.lit(float(x)) for x in cvec])
-            sim = cosine_similarity(vec, plane)
-            cond = sim > best_sim
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-        return best_id
+    import pandas as pd
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        nearest_centroid(F.col(vec_col)).alias("list_id"),
-    )
-    # queries probe their nprobe nearest lists
-    def probe_lists(vec: Column) -> Column:
-        sims = F.array(*[
-            F.struct(cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                     F.lit(i).alias("i"))
-            for i, cvec in enumerate(centroids)
-        ])
-        ranked = F.reverse(F.array_sort(sims))
-        return F.transform(F.slice(ranked, 1, nprobe), lambda st: st["i"])
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
-    )
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+
+    def _normed(pdf):
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        return X / np.where(n == 0.0, 1.0, n)
+
+    def assign_corpus(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lid = np.argmax(_normed(pdf) @ C.T, axis=1)  # ties → lower id,
+            yield pd.DataFrame({                         # like the CASE chain
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "c_vec": pdf[vec_col],
+                "list_id": lid.astype(np.int32),
+            })
+
+    def probe_queries(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            S = _normed(pdf) @ C.T  # (n_q, nlist)
+            rows = {"query_id": [], "q_vec": [], "list_id": []}
+            for r in range(len(pdf)):
+                # descending sim, ties → higher list id (the order the
+                # reverse(array_sort(struct(s,i))) form produced)
+                order = np.lexsort((-np.arange(len(C)), -S[r]))[:nprobe]
+                for lid in order:
+                    rows["query_id"].append(pdf[id_col].iloc[r])
+                    rows["q_vec"].append(pdf[vec_col].iloc[r])
+                    rows["list_id"].append(int(lid))
+            yield pd.DataFrame(rows)
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign_corpus, schema=f"neighbor_id {id_t}, c_vec {vec_t}, list_id int")
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe_queries, schema=f"query_id {id_t}, q_vec {vec_t}, list_id int")
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -63,6 +63,15 @@ def convert_tiles(
                 if data is None:
                     continue
                 hh, ww = r.h * scale_h, r.w * scale_h
+                n_px = len(data) // 4
+                if hh * ww != n_px:
+                    # payload lives on a different grid than h·scale_h can
+                    # express (e.g. proc-crs=ref with a coarser-than-ref
+                    # source: params on the ref grid, corr on the src grid,
+                    # related by 1/f) — derive the square payload side from
+                    # the byte length instead of crashing in the reshape
+                    side = int(np.sqrt(n_px))
+                    hh = ww = side
                 arr = decode_tile(data, hh, ww)
                 conv_arr = convert_array_dtype(arr, dtype, nodata)
                 out["image_id"].append(r.image_id)
@@ -192,10 +201,16 @@ def build_overviews(
         for r in ext}
     total = max(n_levels.values(), default=0)
     levels = []
+    spark = tiles.sparkSession
     cur = tiles if value_col == "data" else tiles.withColumnRenamed(value_col, "data")
     for i in range(total):
-        live = [img for img, n in n_levels.items() if n >= i + 1]
-        cur = _coarsen_level(cur.filter(F.col("image_id").isin(live)),
+        # per-level image filter as a broadcast semi-join — an isin() list
+        # would grow the plan linearly with image count (100 TB = millions
+        # of images); the joined dim stays metadata-scale
+        live = spark.createDataFrame(
+            [(img,) for img, n in n_levels.items() if n >= i + 1],
+            "image_id string")
+        cur = _coarsen_level(cur.join(F.broadcast(live), "image_id", "left_semi"),
                              tile_px, "data")
         levels.append(cur)
     return levels

@@ -79,6 +79,8 @@ def _overview_snapshots(spark, corrected, cfg, warehouse, max_levels, min_px):
          "max_levels": max_levels, "min_px": min_px},
         sort_keys=True).encode()).hexdigest()[:16]
     cat = TableCatalog(spark, warehouse)
+    # snapshots() returns [] for a not-yet-created table on both backends;
+    # FileNotFoundError kept for older fallback warehouses
     try:
         done = {int(s["properties"]["level"]): s["snapshot_id"]
                 for s in cat.snapshots("overviews")
@@ -90,15 +92,22 @@ def _overview_snapshots(spark, corrected, cfg, warehouse, max_levels, min_px):
         corrected.select("image_id", "band", "cell_id", "h", "w", "data"),
         tile_px, max_levels=max_levels, min_px=min_px)
     out = []
+    from pyspark.sql import functions as F
+    # the fingerprint rides as a COLUMN on every row (not just a snapshot
+    # property): append-mode reads union all prior snapshots, so a shared
+    # warehouse reused across configs would otherwise mix stale tiles from
+    # other fingerprints' level-i commits into each returned level
+    lvl_filter = lambda i: (F.col("level") == i) & (F.col("fingerprint") == fp)
     for i, lvl in enumerate(levels):
         if i in done:  # resume across restarts: snapshot already committed
             out.append(cat.read("overviews", as_of=done[i])
-                       .filter(f"level = {i}"))
+                       .filter(lvl_filter(i)).drop("level", "fingerprint"))
             continue
-        from pyspark.sql import functions as F
-        snap = cat.write(lvl.withColumn("level", F.lit(i)), "overviews",
-                         properties={"level": i, "fingerprint": fp})
-        out.append(cat.read("overviews", as_of=snap).filter(f"level = {i}"))
+        snap = cat.write(
+            lvl.withColumn("level", F.lit(i)).withColumn("fingerprint", F.lit(fp)),
+            "overviews", properties={"level": i, "fingerprint": fp})
+        out.append(cat.read("overviews", as_of=snap)
+                   .filter(lvl_filter(i)).drop("level", "fingerprint"))
     return out
 
 

@@ -94,6 +94,24 @@ def test_ivf_topk_recalls_near_duplicate(spark):
     assert list(out["neighbor_id"]) == [1]  # the planted near-dup is found
 
 
+def test_ivf_topk_realistic_nlist_plan_stays_bounded(spark):
+    """n_centroids=256 (the round-2 plan-literal CASE chain exploded here):
+    the GEMM-argmax assignment must keep the plan free of per-centroid
+    branches and still recall the planted near-dup."""
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    vecs = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"])).cache()
+    C = similarity.train_ivf_centroids(vecs, n_centroids=256, iters=2)
+    out_df = similarity.ivf_topk(vecs, vecs.filter(F.col("vec_id") == 0), C,
+                                 k=1, nprobe=8)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in plan  # no per-centroid branch chain
+    out = out_df.toPandas()
+    assert list(out["neighbor_id"]) == [1]
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)
