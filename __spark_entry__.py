@@ -1310,6 +1310,42 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(total), int(mism))], "n_docs long, n_mismatched long")
 
 
+def q_span_roundtrip_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-document audit, ORACLE-CHECKED (constants are closed-form
+    from the fixture geometry: scale=2 → 2 pairs × 4 cell-row docs = 8 docs;
+    4 cells × 2 roles per doc = 64 media spans; 32 src spans all corrected):
+    every re-pointed (corr://) span must match exactly one corrected payload,
+    every other media span exactly one original tile, zero unresolved and
+    zero ambiguous — enforced relationally through the hash gate."""
+    from homonim_spark.operators.fuse import explode_spans, fuse_documents
+    docs, tiles = _raster_spark(spark)
+    corrected_docs, fused = fuse_documents(
+        docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+    spans = (explode_spans(corrected_docs)
+             .filter(F.col("kind") == "media").select("media_ref"))
+    payloads = (fused.filter(F.col("corr").isNotNull()).select("media_ref")
+                .unionByName(tiles.select("media_ref")))
+    n_docs = corrected_docs.count()
+    n_media = spans.count()
+    n_corrected = spans.filter(F.col("media_ref").startswith("corr://")).count()
+    n_unresolved = spans.join(payloads, "media_ref", "left_anti").count()
+    n_ambiguous = (payloads.join(spans.distinct(), "media_ref", "left_semi")
+                   .groupBy("media_ref").count()
+                   .filter(F.col("count") > 1).count())
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_media), int(n_corrected),
+          int(n_unresolved), int(n_ambiguous))],
+        "n_docs long, n_media_spans long, n_corrected_spans long, "
+        "n_unresolved long, n_ambiguous long")
+
+
+ORACLE_SPAN_ROUNDTRIP_CORRECTED = """
+SELECT CAST(8 AS BIGINT) AS n_docs, CAST(64 AS BIGINT) AS n_media_spans,
+       CAST(32 AS BIGINT) AS n_corrected_spans,
+       CAST(0 AS BIGINT) AS n_unresolved, CAST(0 AS BIGINT) AS n_ambiguous
+"""
+
+
 def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: tile→footprint point-in-polygon assignment counts."""
     from homonim_spark import datagen
@@ -1401,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
         "raster_compare": q_raster_compare,
         "span_roundtrip": q_span_roundtrip,
+        "span_roundtrip_corrected": q_span_roundtrip_corrected,
         "span_text_profile": q_span_text_profile,
         "media_features": q_media_features,
         "media_features_png": q_media_features_png,
@@ -1445,4 +1482,5 @@ def oracle_sql() -> dict[str, str]:
         "overview_level1": ORACLE_OVERVIEW_LEVEL1,
         "fuse_gain_offset_k5": ORACLE_FUSE_GAIN_OFFSET_K5,
         "fuse_gain_blk_offset": ORACLE_FUSE_GAIN_BLK_OFFSET,
+        "span_roundtrip_corrected": ORACLE_SPAN_ROUNDTRIP_CORRECTED,
     }

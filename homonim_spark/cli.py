@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--dtype", default="float32")
     f.add_argument("--nodata", type=float, default=None)
     f.add_argument("--chunk", type=int, default=4)
+    f.add_argument("--param-interp", default="bilinear",
+                   choices=["bilinear", "nearest"],
+                   help="proc→src parameter upsampling (the reference's "
+                        "cubic-spline analogue vs the fast/exact path)")
+    f.add_argument("--sigma-clip", type=float, default=None,
+                   help="mask pixels whose residual exceeds this many block "
+                        "σ and refit (north_star extension; off by default)")
+    f.add_argument("--sigma-clip-iters", type=int, default=2)
     f.add_argument("--conf", default=None, metavar="YAML",
                    help="yaml config; fills parameters not given on the "
                         "command line (reference cli.py:88-117 semantics)")
@@ -98,7 +106,10 @@ def main(argv=None) -> int:
         # (the reference rule, raster_pair.py:193-224)
         fused = fuse(docs, tiles, model=args.model, kernel_shape=tuple(args.kernel),
                      find_r2=args.find_r2, mask_partial=args.mask_partial,
-                     proc_crs=args.proc_crs, chunk=args.chunk)
+                     proc_crs=args.proc_crs, chunk=args.chunk,
+                     param_interp=args.param_interp,
+                     sigma_clip=args.sigma_clip,
+                     sigma_clip_iters=args.sigma_clip_iters)
         from homonim_spark.enums import ProcCrs
         cfg = infer_fuse_config(tiles, KernelModelParams(),
                                 proc_crs=ProcCrs(args.proc_crs))

@@ -183,3 +183,65 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
     keyed = frags.repartition("image_id", "role", "band", "cell_id") \
                  .sortWithinPartitions("image_id", "role", "band", "cell_id")
     return keyed.mapInPandas(mosaic, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# executor-side real-file ingestion (S1/S3 at scale)
+# ---------------------------------------------------------------------------
+
+_BAND_ROW_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("role", T.StringType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("transform", T.ArrayType(T.DoubleType()), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def gtiff_band_rows(binary_files: DataFrame, role: str,
+                    nodata: float | None = None) -> DataFrame:
+    """Decode ``binaryFile`` rows (path, content) into per-band regrid-input
+    rows — IN EXECUTORS, one task per file split.  At 100 TB of GTiffs this
+    is the scan path: no payload ever touches the driver (the reference
+    decodes windows via GDAL on one node, ``raster_array.py:129-199``).
+
+    ``image_id`` = file stem; ``nodata`` overrides the file's own tag
+    (None → use the tag).  Output feeds :func:`regrid_tiles` directly.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from homonim_spark.tiffio import read_gtiff
+        for pdf in batches:
+            out = {f.name: [] for f in _BAND_ROW_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                t = read_gtiff(bytes(r.content))
+                if t.transform is None:
+                    raise ValueError(f"{r.path}: no geo transform tags")
+                nd = nodata if nodata is not None else t.nodata
+                arr = t.data.astype(np.float32)
+                if nd is not None:
+                    arr[t.data == nd] = np.nan
+                stem = r.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                for band in range(arr.shape[0]):
+                    out["image_id"].append(stem)
+                    out["role"].append(role)
+                    out["band"].append(band)
+                    out["transform"].append([float(v) for v in t.transform])
+                    out["h"].append(arr.shape[1])
+                    out["w"].append(arr.shape[2])
+                    out["data"].append(encode_tile(arr[band]))
+            yield pd.DataFrame(out)
+
+    return binary_files.select("path", "content").mapInPandas(
+        decode, schema=_BAND_ROW_SCHEMA)
+
+
+def ingest_gtiff_files(spark, path: str, role: str, res: int, tile_px: int,
+                       nodata: float | None = None) -> DataFrame:
+    """Scan a directory/glob of GTiffs with ``binaryFile``, decode per-band
+    in executors, and regrid onto the canonical cell grid — the end-to-end
+    real-file ingestion used in place of driver-side ``read_gtiff(path)``."""
+    bf = spark.read.format("binaryFile").load(path)
+    return regrid_tiles(gtiff_band_rows(bf, role, nodata), res, tile_px)

@@ -99,8 +99,16 @@ def _parse_gdal_metadata(xml: str):
     return items, band_names
 
 
-def read_gtiff(path: str) -> GeoTiff:
-    buf = open(path, "rb").read()
+def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
+    """Decode a GeoTIFF from a filesystem path OR raw bytes.
+
+    The bytes form is the executor-side ingestion path:
+    ``spark.read.format('binaryFile')`` delivers file contents as a binary
+    column, so decode happens where the data is (the reference streams
+    windows via GDAL on one node, ``raster_array.py:129-199``; the engine
+    streams whole files through executors instead)."""
+    buf = bytes(src) if isinstance(src, (bytes, bytearray, memoryview)) \
+        else open(src, "rb").read()
     if buf[:2] != b"II":
         raise ValueError("only little-endian (II) classic TIFF supported")
     bo = "<"

@@ -11,28 +11,42 @@ from homonim_spark.pipelines import staged_fuse_pipeline
 
 
 def test_fuse_documents_every_media_span_corrected(spark):
-    """north_star: corrected documents preserve the exact span sequence and
-    every src media span resolves to a corrected payload via media_ref."""
+    """north_star: corrected documents preserve the exact span sequence
+    (kind, text, order); src media spans are re-pointed to their corrected
+    payload ids and resolve 1:1 against the fused table."""
     spec = datagen.RasterFixtureSpec(pair_id="e2e", cells=(2, 2), tile=16, factor=2)
     docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
     docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
     corrected_docs, fused = fuse_ops.fuse_documents(
         docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+    fused = fused.cache()
 
-    # span sequences round-trip exactly
+    # span sequences round-trip exactly; every src media span (all corrected
+    # on this fixture) is re-pointed to corr://<orig>, everything else intact
     rb = corrected_docs.toPandas().set_index("doc_id")
     for _, row in docs_pdf.iterrows():
         got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
                for s in rb.loc[row["doc_id"], "spans"]]
-        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        want = [(s["kind"], s["text"],
+                 ("corr://" + s["media_ref"]) if "/src/" in s["media_ref"]
+                 else s["media_ref"], s["offset"]) for s in row["spans"]]
         assert got == want
 
-    # every src media span has a corrected payload
-    spans = fuse_ops.explode_spans(docs).filter(
-        (F.col("kind") == "media") & F.col("media_ref").contains("/src/"))
-    missing = spans.join(fused.filter(F.col("corr").isNotNull()).select("media_ref"),
-                         "media_ref", "left_anti")
-    assert missing.count() == 0
+    # re-pointed spans ↔ corrected payloads: exactly one match each way
+    corr_spans = fuse_ops.explode_spans(corrected_docs).filter(
+        F.col("media_ref").startswith("corr://")).select("media_ref")
+    payloads = fused.filter(F.col("corr").isNotNull()).select("media_ref")
+    assert corr_spans.join(payloads, "media_ref", "left_anti").count() == 0
+    assert payloads.join(corr_spans, "media_ref", "left_anti").count() == 0
+    assert corr_spans.count() == payloads.count() == 4  # 2x2 cells, 1 band
+
+    # opt-out restores the immutable document
+    immutable_docs, _ = fuse_ops.fuse_documents(
+        docs, tiles, repoint_prefix=None, model="gain", kernel_shape=(1, 1))
+    rb0 = immutable_docs.toPandas().set_index("doc_id")
+    for _, row in docs_pdf.iterrows():
+        got = [tuple(s.values()) for s in rb0.loc[row["doc_id"], "spans"]]
+        assert got == [tuple(s.values()) for s in row["spans"]]
 
 
 def test_knn_fallback_fills_missing_ref_cells(spark):
@@ -131,18 +145,26 @@ def test_fuse_documents_resolves_with_knn_fallback(spark):
     fused = fused.cache()
 
     # no knn:// donor refs leak into the fused payload table
-    assert fused.filter(F.col("media_ref").startswith("knn://")).count() == 0
-    # every src media span resolves to a corrected payload
-    spans = fuse_ops.explode_spans(docs).filter(
-        (F.col("kind") == "media") & F.col("media_ref").contains("/src/"))
-    missing = spans.join(fused.filter(F.col("corr").isNotNull()).select("media_ref"),
-                         "media_ref", "left_anti")
-    assert missing.count() == 0
-    # span sequences still round-trip exactly (dropped-ref spans included:
-    # the document is immutable; only payload resolution changes)
+    assert fused.filter(F.col("media_ref").contains("knn://")).count() == 0
+    # every src media span resolves 1:1 to a corrected payload via the
+    # re-pointed id
+    corr_spans = fuse_ops.explode_spans(corrected_docs).filter(
+        F.col("media_ref").startswith("corr://")).select("media_ref")
+    payloads = fused.filter(F.col("corr").isNotNull()).select("media_ref")
+    assert corr_spans.join(payloads, "media_ref", "left_anti").count() == 0
+    assert payloads.join(corr_spans, "media_ref", "left_anti").count() == 0
+    # every src span was corrected (donors fill the dropped-ref cells)
+    n_src = fuse_ops.explode_spans(docs).filter(
+        F.col("media_ref").contains("/src/")).count()
+    assert corr_spans.count() == n_src
+    # span sequences round-trip with only the corrected refs re-pointed
+    # (dropped-ref spans keep their original media_ref: the ref payload is
+    # gone but the document text/order is untouched)
     rb = corrected_docs.toPandas().set_index("doc_id")
     for _, row in docs_pdf.iterrows():
         got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
                for s in rb.loc[row["doc_id"], "spans"]]
-        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        want = [(s["kind"], s["text"],
+                 ("corr://" + s["media_ref"]) if "/src/" in s["media_ref"]
+                 else s["media_ref"], s["offset"]) for s in row["spans"]]
         assert got == want

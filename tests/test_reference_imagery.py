@@ -102,6 +102,58 @@ def test_real_imagery_fuse_improves_similarity(spark, real_tiles):
         assert after[band]["rrmse"] < before[band]["rrmse"]
 
 
+def test_binaryfile_ingestion_matches_driver_path(spark):
+    """Executor-side ingestion (spark.read.format('binaryFile') →
+    read_gtiff(bytes) in executors → regrid) must be numerically identical
+    to the driver-side read_gtiff(path) path on the reference's 4 real NGI
+    aerial files, and the fused output must be produced from it."""
+    from homonim_spark.operators.ingest import gtiff_band_rows, ingest_gtiff_files
+
+    exec_side = ingest_gtiff_files(
+        spark, "/root/reference/tests/data/source/ngi_rgb_byte_[1234].tif",
+        role="src", res=RES, tile_px=SRC_TILE, nodata=0.0).cache()
+
+    rows = []
+    for i in (1, 2, 3, 4):
+        rows += _image_rows(
+            f"/root/reference/tests/data/source/ngi_rgb_byte_{i}.tif",
+            f"ngi_rgb_byte_{i}", "src", nodata=0.0)
+    driver_side = regrid_tiles(
+        spark.createDataFrame(pd.DataFrame(rows)), RES, SRC_TILE).cache()
+
+    n = exec_side.count()
+    assert n == driver_side.count() > 0
+    # bit-identical payloads per (image, band, cell)
+    key = ["image_id", "band", "cell_id"]
+    joined = exec_side.select(*key, F.md5("data").alias("h_a")).join(
+        driver_side.select(*key, F.md5("data").alias("h_b")), key, "full")
+    mismatched = joined.filter(
+        F.col("h_a").isNull() | F.col("h_b").isNull()
+        | (F.col("h_a") != F.col("h_b"))).count()
+    assert mismatched == 0
+
+    # and the executor-ingested tiles fuse end-to-end
+    ref = ingest_gtiff_files(spark, REF_TIF, role="ref",
+                             res=RES, tile_px=REF_TILE, nodata=0.0)
+    images = [r["image_id"] for r in exec_side.select("image_id").distinct().collect()]
+    ref = ref.drop("image_id").crossJoin(
+        spark.createDataFrame(pd.DataFrame({"image_id": images})))
+    tiles = exec_side.unionByName(ref.select(*exec_side.columns))
+    tiles = tiles.join(tiles.filter("role = 'src'")
+                       .select("image_id", "cell_id").distinct(),
+                       ["image_id", "cell_id"], "left_semi")
+    docs = spark.createDataFrame(pd.DataFrame([{
+        "doc_id": f"doc-{img}",
+        "spans": [{"kind": "media", "text": "", "media_ref": m, "offset": j}
+                  for j, m in enumerate(
+                      r["media_ref"] for r in tiles
+                      .filter(F.col("image_id") == img)
+                      .select("media_ref").collect())],
+    } for img in images]))
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
+    assert fused.count() > 0
+
+
 def test_real_imagery_grid_contract(spark, real_tiles):
     """Regridded tiles satisfy the aligned-grid contract fuse relies on."""
     _, tiles = real_tiles
