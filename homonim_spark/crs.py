@@ -1,0 +1,171 @@
+"""Closed-form coordinate transforms (pure numpy — no GDAL/proj).
+
+The reference reprojects CRS-mismatched pairs through a ``WarpedVRT``
+(``/root/reference/homonim/utils.py:190-209``) and tests WGS84-vs-projected
+fixtures (``/root/reference/tests/conftest.py:377-517``).  This module gives
+the engine's ingest regrid the same capability for the common public CRSs
+without GDAL: geographic WGS84 (EPSG:4326), spherical Web-Mercator
+(EPSG:3857) and ellipsoidal UTM (EPSG:326xx/327xx, Transverse Mercator via
+the 6th-order Krüger series — the standard closed-form used by every
+GeographicLib-derived implementation; max error well under 1 mm inside a
+zone).
+
+All functions are vectorized over numpy arrays; everything pivots through
+lon/lat degrees.  Axis convention follows the affine-transform convention
+already used by ``operators.ingest``: (x, y) = (easting/lon, northing/lat).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2 - _F)
+
+# Web-Mercator sphere radius (EPSG:3857 uses the semi-major axis)
+_R = 6378137.0
+
+# --- Krüger series coefficients (3rd flattening n, 6th order) ---------------
+_N = _F / (2 - _F)
+_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
+
+# rectifying radius
+_A1 = _A / (1 + _N) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
+
+# forward (geographic → TM) alpha and reverse beta coefficients
+_ALPHA = [
+    _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288
+    + 7891 * _N6 / 37800,
+    13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630
+    - 1983433 * _N6 / 1935360,
+    61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880
+    + 167603 * _N6 / 181440,
+    49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
+    34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
+    212378941 * _N6 / 319334400,
+]
+_BETA = [
+    _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512
+    + 96199 * _N6 / 604800,
+    _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105
+    - 1118711 * _N6 / 3870720,
+    17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
+    4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
+    4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
+    20648693 * _N6 / 638668800,
+]
+
+_K0 = 0.9996            # UTM central-meridian scale
+_FE = 500000.0          # false easting
+_FN_S = 10000000.0      # false northing (southern hemisphere)
+
+
+def lonlat_to_webmercator(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R * np.radians(lon)
+    y = _R * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _R)) - np.pi / 2)
+    return lon, lat
+
+
+def lonlat_to_utm(lon, lat, zone: int, south: bool = False):
+    """Ellipsoidal transverse Mercator (Krüger series) — EPSG:326{zone} /
+    327{zone}."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    phi = np.radians(lat)
+    lam = np.radians(lon) - lam0
+
+    # conformal latitude
+    e = np.sqrt(_E2)
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+
+    x = _FE + _K0 * _A1 * eta
+    y = _K0 * _A1 * xi + (_FN_S if south else 0.0)
+    return x, y
+
+
+def utm_to_lonlat(x, y, zone: int, south: bool = False):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    xi = (y - (_FN_S if south else 0.0)) / (_K0 * _A1)
+    eta = (x - _FE) / (_K0 * _A1)
+
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))  # conformal latitude
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+
+    # conformal → geographic latitude by fixed-point (converges ~4 iters)
+    e = np.sqrt(_E2)
+    phi = chi.copy()
+    for _ in range(6):
+        phi = np.arcsin(np.tanh(
+            np.arctanh(np.sin(chi)) + e * np.arctanh(e * np.sin(phi))))
+    return np.degrees(lam + lam0), np.degrees(phi)
+
+
+def _parse(crs: str):
+    c = crs.upper().replace(" ", "")
+    if c in ("EPSG:4326", "WGS84", "CRS:84"):
+        return ("lonlat",)
+    if c in ("EPSG:3857", "EPSG:900913"):
+        return ("webmerc",)
+    if c.startswith("EPSG:326") and len(c) == 10:
+        return ("utm", int(c[8:]), False)
+    if c.startswith("EPSG:327") and len(c) == 10:
+        return ("utm", int(c[8:]), True)
+    raise ValueError(
+        f"unsupported CRS {crs!r}: closed-form transforms cover EPSG:4326, "
+        "EPSG:3857 and UTM EPSG:326xx/327xx (anything else needs a "
+        "pre-warped input, like the reference's WarpedVRT)")
+
+
+def to_lonlat(crs: str, x, y):
+    kind = _parse(crs)
+    if kind[0] == "lonlat":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if kind[0] == "webmerc":
+        return webmercator_to_lonlat(x, y)
+    return utm_to_lonlat(x, y, kind[1], kind[2])
+
+
+def from_lonlat(crs: str, lon, lat):
+    kind = _parse(crs)
+    if kind[0] == "lonlat":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if kind[0] == "webmerc":
+        return lonlat_to_webmercator(lon, lat)
+    return lonlat_to_utm(lon, lat, kind[1], kind[2])
+
+
+def transform_points(src_crs: str, dst_crs: str, x, y):
+    """(x, y) in ``src_crs`` → (x, y) in ``dst_crs``, pivoting via lon/lat."""
+    if src_crs == dst_crs:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    lon, lat = to_lonlat(src_crs, x, y)
+    return from_lonlat(dst_crs, lon, lat)

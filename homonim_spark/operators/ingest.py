@@ -64,7 +64,8 @@ def bilinear_sample(arr: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarr
     return out
 
 
-def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
+def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
+                 grid_crs: str | None = None) -> DataFrame:
     """Normalise arbitrary-transform tiles onto the canonical grid at
     resolution ``res`` with ``tile_px`` pixels per cell per dim.
 
@@ -72,23 +73,40 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
     ``transform`` = (a, b, c, d, e, f): world x = a·col + b·row + c,
     world y = d·col + e·row + f (pixel-corner origin convention).
 
+    Cross-CRS (R1/R3, the reference's ``WarpedVRT`` path,
+    ``utils.py:190-209``): with ``grid_crs`` set and a per-tile ``crs``
+    string column present, tiles whose CRS differs from the grid's are
+    warped through the closed-form transforms in ``homonim_spark.crs``
+    (WGS84 / Web-Mercator / UTM): canonical pixel centers are transformed
+    into the tile's CRS before the inverse-affine bilinear sample.
+
     Output: canonical tiles (one per covered cell) with the standard
     engine schema subset; fragments from overlapping inputs are averaged.
     """
     cell_sz = grid.cell_size(res)
     px_out = cell_sz / tile_px
+    has_crs = grid_crs is not None and "crs" in tiles.columns
 
     def fragments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from homonim_spark.crs import transform_points
         for pdf in batches:
             out = {f.name: [] for f in _FRAG_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
                 arr = decode_tile(r.data, r.h, r.w)
                 a, b, c, d, e, f_ = [float(v) for v in r.transform]
-                # tile corner world coords → covered cell range
-                cols = np.array([0, r.w, 0, r.w], dtype=np.float64)
-                rows = np.array([0, 0, r.h, r.h], dtype=np.float64)
+                tile_crs = getattr(r, "crs", None) if has_crs else None
+                warp = bool(tile_crs) and tile_crs != grid_crs
+                # covered cell range from the tile boundary (corners alone
+                # underestimate under a curved warp — sample the perimeter)
+                t = np.linspace(0.0, 1.0, 9)
+                cols = np.concatenate([t * r.w, t * r.w,
+                                       np.zeros_like(t), np.full_like(t, r.w)])
+                rows = np.concatenate([np.zeros_like(t), np.full_like(t, r.h),
+                                       t * r.h, t * r.h])
                 xs = a * cols + b * rows + c
                 ys = d * cols + e * rows + f_
+                if warp:
+                    xs, ys = transform_points(tile_crs, grid_crs, xs, ys)
                 c0 = int(np.floor(xs.min() / cell_sz))
                 c1 = int(np.floor((xs.max() - 1e-9) / cell_sz))
                 r0 = int(np.floor(ys.min() / cell_sz))
@@ -102,6 +120,11 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
                         gx = (cc * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
                         gy = (cr * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
                         WX, WY = np.meshgrid(gx, gy)
+                        if warp:
+                            WX, WY = transform_points(grid_crs, tile_crs,
+                                                      WX.ravel(), WY.ravel())
+                            WX = WX.reshape(tile_px, tile_px)
+                            WY = WY.reshape(tile_px, tile_px)
                         # world → source pixel coords (center convention:
                         # pixel (i,j) center at col=j+0.5, row=i+0.5)
                         px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
@@ -120,9 +143,10 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int) -> DataFrame:
                         out["cnt"].append(encode_tile(valid.astype(np.float32)))
             yield pd.DataFrame(out)
 
-    frags = tiles.select(
-        "image_id", "role", "band", "transform", "h", "w", "data"
-    ).mapInPandas(fragments, schema=_FRAG_SCHEMA)
+    in_cols = ["image_id", "role", "band", "transform", "h", "w", "data"]
+    if has_crs:
+        in_cols.append("crs")
+    frags = tiles.select(*in_cols).mapInPandas(fragments, schema=_FRAG_SCHEMA)
 
     out_schema = T.StructType([
         T.StructField("media_ref", T.StringType(), False),

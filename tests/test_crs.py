@@ -1,0 +1,52 @@
+"""Closed-form CRS transforms (homonim_spark.crs): round-trip exactness,
+known geodetic anchors, and dispatch."""
+
+import numpy as np
+import pytest
+
+from homonim_spark import crs
+
+
+def test_utm_round_trips_machine_precision():
+    cases = [(18, False, -73.5, 40.5), (31, False, 3.2, 50.8),
+             (34, True, 18.43, -33.9), (30, False, -0.4, 51.5)]
+    for zone, south, lon, lat in cases:
+        x, y = crs.lonlat_to_utm(np.array([lon]), np.array([lat]), zone, south)
+        lo, la = crs.utm_to_lonlat(x, y, zone, south)
+        assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+
+
+def test_utm_meridian_arc_anchor():
+    """At the central meridian the northing is k0 x the WGS84 meridian arc —
+    the 45°N arc length is the published 4 984 944.4 m."""
+    x, y = crs.lonlat_to_utm(np.array([3.0]), np.array([45.0]), 31)
+    assert x[0] == pytest.approx(500000.0, abs=1e-6)
+    assert y[0] == pytest.approx(0.9996 * 4984944.4, abs=0.5)
+
+
+def test_utm_false_northing_south():
+    x_n, y_n = crs.lonlat_to_utm(np.array([18.43]), np.array([-33.9]), 34, True)
+    assert 0 < y_n[0] < 10000000.0  # south: false northing applied
+
+
+def test_webmercator_round_trip_and_anchor():
+    lon, lat = np.array([-73.5]), np.array([40.5])
+    x, y = crs.lonlat_to_webmercator(lon, lat)
+    # x = R·λ exactly
+    assert x[0] == pytest.approx(6378137.0 * np.radians(-73.5), abs=1e-6)
+    lo, la = crs.webmercator_to_lonlat(x, y)
+    assert abs(lo[0] + 73.5) < 1e-12 and abs(la[0] - 40.5) < 1e-12
+
+
+def test_transform_points_dispatch_and_identity():
+    x, y = crs.transform_points("EPSG:4326", "EPSG:3857", -73.5, 40.5)
+    x2, y2 = crs.lonlat_to_webmercator(-73.5, 40.5)
+    assert np.allclose([x, y], [x2, y2])
+    xi, yi = crs.transform_points("EPSG:3857", "EPSG:3857", 5.0, 7.0)
+    assert (xi, yi) == (5.0, 7.0)
+    # UTM id parsing
+    xu, yu = crs.transform_points("EPSG:4326", "EPSG:32618", -73.5, 40.5)
+    xu2, yu2 = crs.lonlat_to_utm(-73.5, 40.5, 18, False)
+    assert np.allclose([xu, yu], [xu2, yu2])
+    with pytest.raises(ValueError):
+        crs.transform_points("EPSG:2193", "EPSG:4326", 0, 0)

@@ -142,3 +142,88 @@ def test_regrid_feeds_fuse(spark):
         assert m.any()
         np.testing.assert_allclose(g[m], 2.0, atol=2e-2)
         np.testing.assert_allclose(o[m], 5.0, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# cross-CRS regrid (R1/R3: the reference's WarpedVRT path, utils.py:190-209)
+# ---------------------------------------------------------------------------
+
+def _smooth(x, y):
+    """Smooth radiance field over Web-Mercator coords (curvature small
+    enough that one bilinear resample stays ≲1e-3 relative)."""
+    return (100.0 + 30.0 * np.sin(2 * np.pi * x / 800.0)
+            + 20.0 * np.cos(2 * np.pi * y / 700.0))
+
+
+def test_cross_crs_regrid_and_fuse_match_same_crs(spark):
+    """A WGS84 (EPSG:4326) source ingests through the closed-form
+    geographic→Web-Mercator warp and fuses to the same params as the
+    Mercator-native rendering of the same ground radiance (rel ~1e-3, the
+    reference's own proc-crs invariance tolerance)."""
+    from homonim_spark import crs as crsmod
+    from homonim_spark.operators.fuse import fuse
+
+    RES, TILE = 12, 16                      # 256 m cells, 16 m px
+    cell_sz = grid.cell_size(RES)
+    cr0, cc0 = 19292, -31961                # ~(40.5N, 73.5W) in cell coords
+    x0, y0 = cc0 * cell_sz, cr0 * cell_sz
+    ext = 4 * cell_sz                       # 4x4 cells
+
+    def mk_row(image_id, role, arr, transform, crs):
+        return {"image_id": image_id, "role": role, "band": 0,
+                "transform": transform, "h": arr.shape[0], "w": arr.shape[1],
+                "data": encode_tile(arr.astype(np.float32)), "crs": crs}
+
+    # reference + Mercator-native source: rendered on a grid-aligned 16 m
+    # Mercator raster (regrid then samples exactly at pixel centers)
+    gx = x0 + (np.arange(4 * TILE) + 0.5) * (cell_sz / TILE)
+    gy = y0 + (np.arange(4 * TILE) + 0.5) * (cell_sz / TILE)
+    MX, MY = np.meshgrid(gx, gy)
+    ref_img = _smooth(MX, MY)
+    src_img = (ref_img - 10.0) / 2.0        # true gain 2, offset 10
+    merc_tf = [cell_sz / TILE, 0.0, x0, 0.0, cell_sz / TILE, y0]
+
+    # WGS84 source: same ground radiance rendered on a lon/lat pixel grid
+    lon0, lat0 = crsmod.webmercator_to_lonlat(x0 - 64.0, y0 - 64.0)
+    lon1, lat1 = crsmod.webmercator_to_lonlat(x0 + ext + 64.0, y0 + ext + 64.0)
+    nwy, nwx = 128, 128
+    dlon, dlat = (lon1 - lon0) / nwx, (lat1 - lat0) / nwy
+    lons = lon0 + (np.arange(nwx) + 0.5) * dlon
+    lats = lat0 + (np.arange(nwy) + 0.5) * dlat
+    LN, LT = np.meshgrid(lons, lats)
+    WXm, WYm = crsmod.lonlat_to_webmercator(LN.ravel(), LT.ravel())
+    src_wgs = ((_smooth(WXm, WYm) - 10.0) / 2.0).reshape(nwy, nwx)
+    wgs_tf = [float(dlon), 0.0, float(lon0), 0.0, float(dlat), float(lat0)]
+
+    rows_native = [mk_row("p", "ref", ref_img, merc_tf, "EPSG:3857"),
+                   mk_row("p", "src", src_img, merc_tf, "EPSG:3857")]
+    rows_cross = [mk_row("p", "ref", ref_img, merc_tf, "EPSG:3857"),
+                  mk_row("p", "src", src_wgs, wgs_tf, "EPSG:4326")]
+
+    outs = []
+    for rows in (rows_native, rows_cross):
+        tiles = regrid_tiles(spark.createDataFrame(pd.DataFrame(rows)),
+                             RES, TILE, grid_crs="EPSG:3857").cache()
+        # only the 4x4 target cells (the WGS84 bbox pads past them)
+        keep = tiles.filter(
+            (grid.cell_row_col_expr(tiles.cell_id)[0].between(cr0, cr0 + 3))
+            & (grid.cell_row_col_expr(tiles.cell_id)[1].between(cc0, cc0 + 3)))
+        docs = spark.createDataFrame(pd.DataFrame([{
+            "doc_id": "d", "spans": [
+                {"kind": "media", "text": "", "media_ref": r["media_ref"],
+                 "offset": i}
+                for i, r in enumerate(keep.select("media_ref").collect())]}]))
+        fused = fuse(docs, keep, model="gain", kernel_shape=(5, 5)).toPandas()
+        img = np.full((4 * TILE, 4 * TILE), np.nan, dtype=np.float32)
+        for r in fused.itertuples(index=False):
+            rr = grid.cell_row(int(r.cell_id)) - cr0
+            cc = grid.cell_col(int(r.cell_id)) - cc0
+            img[rr * TILE:(rr + 1) * TILE, cc * TILE:(cc + 1) * TILE] = \
+                decode_tile(r.gain, TILE, TILE)
+        outs.append(img)
+
+    native, cross = outs
+    both = ~np.isnan(native) & ~np.isnan(cross)
+    assert both.mean() > 0.9               # near-full shared coverage
+    rel = np.abs(cross[both] - native[both]) / np.abs(native[both])
+    assert np.nanmax(rel) < 1e-3, np.nanmax(rel)
