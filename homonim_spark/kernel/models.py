@@ -42,12 +42,15 @@ class KernelModelParams:
     #: (``kernel_model.py:101,138-140``); the engine's smooth-interpolation
     #: analogue is a NaN-safe bilinear (DOCUMENTED DEVIATION — within the
     #: reference's own abs-2 corrected-value tolerance).  ``"nearest"`` is
-    #: the opt-in exact/fast path.
+    #: the opt-in exact/fast path; ``"cubic"`` (Catmull-Rom) is the closest
+    #: analogue of the reference default (needs kernels ≥ 3 for chunked ==
+    #: whole-image: 2 px of halo context).
     param_interp: str = "bilinear"
 
     def __post_init__(self):
-        if self.param_interp not in ("bilinear", "nearest"):
-            raise ConfigError("`param_interp` must be 'bilinear' or 'nearest'")
+        if self.param_interp not in ("bilinear", "nearest", "cubic"):
+            raise ConfigError(
+                "`param_interp` must be 'bilinear', 'nearest' or 'cubic'")
         kh, kw = self.kernel_shape
         if kh % 2 != 1 or kw % 2 != 1:
             raise ConfigError("`kernel_shape` must be odd in both dimensions.")
@@ -339,8 +342,7 @@ def fit_and_apply_ref_space(
     src_proc = ops.downsample_average(src, factor)
     param = fit_model(src_proc, ref, params)
 
-    up = (ops.upsample_nearest if params.param_interp == "nearest"
-          else ops.upsample_bilinear_masked)
+    up = ops.param_upsampler(params.param_interp)
     param_us = np.stack([up(param[0], factor), up(param[1], factor)])
     if params.mask_partial:
         out_mask = full_coverage_mask(

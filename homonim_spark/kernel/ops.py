@@ -208,6 +208,101 @@ def upsample_bilinear_masked(arr: np.ndarray, factor: Tuple[int, int]) -> np.nda
     return out
 
 
+def _shift_rows(a: np.ndarray, s: int) -> np.ndarray:
+    """result[k] = a[clamp(k+s)] (edge-replicate shift along axis 0)."""
+    if s == 0:
+        return a
+    if s > 0:
+        return np.vstack([a[s:], np.repeat(a[-1:], s, axis=0)])
+    return np.vstack([np.repeat(a[:1], -s, axis=0), a[:s]])
+
+
+def _shift_cols(a: np.ndarray, s: int) -> np.ndarray:
+    if s == 0:
+        return a
+    if s > 0:
+        return np.hstack([a[:, s:], np.repeat(a[:, -1:], s, axis=1)])
+    return np.hstack([np.repeat(a[:, :1], -s, axis=1), a[:, :s]])
+
+
+def _catmull_rom_weights(t: float):
+    """4-tap cubic-convolution weights at fraction ``t`` (a = −0.5, the
+    Catmull-Rom spline — interpolating, reproduces linears exactly)."""
+    t = float(t)
+    t2, t3 = t * t, t * t * t
+    return (np.float32(-0.5 * t3 + t2 - 0.5 * t),
+            np.float32(1.5 * t3 - 2.5 * t2 + 1.0),
+            np.float32(-1.5 * t3 + 2.0 * t2 + 0.5 * t),
+            np.float32(0.5 * t3 - 0.5 * t2))
+
+
+def upsample_cubic(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Integer-factor separable cubic (Catmull-Rom) upsample on pixel-center
+    alignment, edge-replicate borders — the engine's smooth-interpolation
+    analogue of the reference's default ``Resampling.cubic_spline``
+    parameter upsampling (``/root/reference/homonim/kernel_model.py:101``).
+    Same phase-decomposition strategy as :func:`upsample_bilinear`:
+    weights repeat with period f, so the pass is 4 clamped shifts per phase.
+    """
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    h, w = arr.shape
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    out = np.empty((h * fh, w * fw), dtype=np.float32)
+
+    def phase(f: int, i: int):
+        o = (i + 0.5) / f - 0.5
+        b = int(np.floor(o))
+        return b, o - b
+
+    row_cache = {}
+    for i in range(fh):
+        br, ty = phase(fh, i)
+        wy = _catmull_rom_weights(ty)
+        ri = row_cache.get((br, round(ty, 12)))
+        if ri is None:
+            ri = sum(wy[m] * _shift_rows(a, br - 1 + m) for m in range(4))
+            row_cache[(br, round(ty, 12))] = ri
+        for j in range(fw):
+            bc, tx = phase(fw, j)
+            wx = _catmull_rom_weights(tx)
+            out[i::fh, j::fw] = sum(
+                wx[m] * _shift_cols(ri, bc - 1 + m) for m in range(4))
+    return out
+
+
+def upsample_cubic_masked(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """NaN-safe cubic upsample (normalized convolution + nearest-validity),
+    mirroring :func:`upsample_bilinear_masked`: NaN inputs get zero weight,
+    output validity follows the nearest input pixel.  Note cubic weights are
+    signed, so the weight-sum guard is larger than bilinear's."""
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    valid = ~np.isnan(arr)
+    if valid.all():
+        return upsample_cubic(arr, factor)
+    v = np.where(valid, arr, np.float32(0.0)).astype(np.float32)
+    num = upsample_cubic(v, factor)
+    den = upsample_cubic(valid.astype(np.float32), factor)
+    out = np.full(num.shape, np.nan, dtype=np.float32)
+    np.divide(num, den, out=out, where=np.abs(den) > np.float32(1e-3))
+    nv = upsample_nearest(valid.astype(np.float32), factor) >= 0.5
+    out[~nv] = np.nan
+    return out
+
+
+def param_upsampler(name: str):
+    """proc→src parameter upsampling dispatch (``KernelModelParams.
+    param_interp``): nearest (exact/fast), bilinear (NaN-safe smooth
+    default), cubic (Catmull-Rom — the reference's cubic-spline analogue;
+    needs 2 px of halo context, i.e. kernels ≥ 3 for chunk-invariance)."""
+    return {"nearest": upsample_nearest,
+            "bilinear": upsample_bilinear_masked,
+            "cubic": upsample_cubic_masked}[name]
+
+
 def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray, max_iter: int = 512) -> np.ndarray:
     """Fill pixels where ``valid_mask`` is False from surrounding valid data.
 

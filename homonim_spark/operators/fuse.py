@@ -490,11 +490,12 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
                         ops.upsample_nearest(pc[1], (f, f)),
                     ])
                 else:
+                    up = ops.param_upsampler(params.param_interp)
                     fsl = (slice(oh * f, (oh + span) * f),
                            slice(ow * f, (ow + span) * f))
                     param_us = np.stack([
-                        ops.upsample_bilinear_masked(param[0], (f, f))[fsl],
-                        ops.upsample_bilinear_masked(param[1], (f, f))[fsl],
+                        up(param[0], (f, f))[fsl],
+                        up(param[1], (f, f))[fsl],
                     ])
             else:
                 # params ref(fine) → src(coarse): block-mean downsample
@@ -637,11 +638,12 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
                 ops.upsample_nearest(pc[1], (factor, factor)),
             ])
         else:
+            up = ops.param_upsampler(params.param_interp)
             fsl = (slice(oh * factor, (oh + span) * factor),
                    slice(ow * factor, (ow + span) * factor))
             param_us = np.stack([
-                ops.upsample_bilinear_masked(param[0], (factor, factor))[fsl],
-                ops.upsample_bilinear_masked(param[1], (factor, factor))[fsl],
+                up(param[0], (factor, factor))[fsl],
+                up(param[1], (factor, factor))[fsl],
             ])
         if params.mask_partial:
             # strict coverage (kernel_model.py:375-409): proc pixels whose
@@ -739,8 +741,9 @@ def knn_ref_fallback(tiles: DataFrame, max_ring: int = 2) -> DataFrame:
     ref = tiles.filter(F.col("role") == "ref")
     ref_cells = ref.select("image_id", "band", "cell_id").distinct()
     missing = src_cells.join(ref_cells, ["image_id", "band", "cell_id"], "left_anti")
-    if missing.isEmpty():
-        return tiles
+    # no eager isEmpty() probe: an empty `missing` yields an empty `borrowed`
+    # through the lazy plan, so fully-covered inputs union nothing — one job
+    # instead of two per fuse call with the fallback enabled
     donors = knn_ref_tiles(
         missing, ref_cells.select("cell_id"), k=1, max_ring=max_ring
     ).select("image_id", "band",

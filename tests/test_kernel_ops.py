@@ -111,3 +111,47 @@ def test_param_interp_bilinear_differs_from_nearest_on_gradient():
     err_n = np.nanmean(np.abs(corr_n - ref_us))
     assert err_b < 1.0 and err_n < 1.0
     assert err_b <= err_n * 1.1  # smoothing never costs accuracy here
+
+
+def test_upsample_cubic_reproduces_linear_exactly():
+    """Catmull-Rom weights sum to 1 with first moment t → linear fields
+    upsample exactly (interior AND edge-replicated border columns stay
+    within the clamped-edge expectation)."""
+    r = np.arange(8, dtype=np.float32)[:, None]
+    c = np.arange(10, dtype=np.float32)[None, :]
+    lin = (3.0 + 2.0 * r + 0.5 * c).astype(np.float32)
+    up = ops.upsample_cubic(lin, (2, 2))
+    # interior output pixels (support fully inside): exact linear values
+    rr = (np.arange(16, dtype=np.float64)[:, None] + 0.5) / 2 - 0.5
+    cc = (np.arange(20, dtype=np.float64)[None, :] + 0.5) / 2 - 0.5
+    want = (3.0 + 2.0 * rr + 0.5 * cc).astype(np.float32)
+    inner = (slice(4, -4), slice(4, -4))
+    np.testing.assert_allclose(up[inner], want[inner], rtol=0, atol=1e-5)
+    # constant field: exact everywhere including borders
+    const = np.full((6, 6), 7.25, dtype=np.float32)
+    np.testing.assert_array_equal(ops.upsample_cubic(const, (3, 3)),
+                                  np.full((18, 18), 7.25, dtype=np.float32))
+
+
+def test_upsample_cubic_masked_validity_follows_nearest():
+    a = np.arange(36, dtype=np.float32).reshape(6, 6)
+    a[2, 3] = np.nan
+    up = ops.upsample_cubic_masked(a, (2, 2))
+    nv = ops.upsample_nearest((~np.isnan(a)).astype(np.float32), (2, 2)) >= 0.5
+    assert np.array_equal(~np.isnan(up), nv)
+    # valid outputs are finite and close to the unmasked field away from
+    # the hole
+    full = ops.upsample_cubic(np.arange(36, dtype=np.float32).reshape(6, 6), (2, 2))
+    # cubic support is 4 input px wide → the hole perturbs a 2-input-px
+    # (4-5 output-px) ring; exclude it generously
+    far = nv.copy(); far[0:9, 2:11] = False
+    np.testing.assert_allclose(up[far], full[far], atol=1e-4)
+
+
+def test_param_upsampler_dispatch():
+    import pytest as _pytest
+    assert ops.param_upsampler("nearest") is ops.upsample_nearest
+    assert ops.param_upsampler("bilinear") is ops.upsample_bilinear_masked
+    assert ops.param_upsampler("cubic") is ops.upsample_cubic_masked
+    with _pytest.raises(KeyError):
+        ops.param_upsampler("lanczos")
