@@ -1108,6 +1108,50 @@ FROM documents GROUP BY 1 ORDER BY fingerprint
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming exact dedup through the driver gate,
+    ORACLE-CHECKED: the documents table streams through
+    ``streaming_dedup_exact`` (applyInPandasWithState keyed by fingerprint,
+    availableNow trigger, durable checkpoint) and each fingerprint's first
+    emission is its canonical doc — with the whole table in one trigger the
+    canonical is min(doc_id), which DuckDB reproduces relationally.  Pins
+    the stateful-streaming path (state store, Arrow state codec, append
+    mode) to the same answer as the batch operator."""
+    import os
+    import tempfile
+    import uuid
+    from homonim_spark.streaming import streaming_dedup_exact
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory; the driver table is a single
+    # parquet file — expose it through a temp dir of symlinks
+    src_dir = tempfile.mkdtemp(prefix="homonim-stream-src-")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
+              # the stateful operator keys string doc ids; canonical is then
+              # the LEXICOGRAPHIC min — the oracle casts to VARCHAR to match
+              .withColumn("doc_id", F.col("doc_id").cast("string")))
+    out = streaming_dedup_exact(stream)
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="homonim-stream-ck-")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("fingerprint", F.col("doc_id").alias("canonical_doc_id"))
+            .orderBy("fingerprint"))
+
+
+ORACLE_STREAMING_DEDUP = r"""
+SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(CAST(doc_id AS VARCHAR)) AS canonical_doc_id
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join, threshold 0.5)."""
     from homonim_spark.operators.dedup import jaccard_pairs
@@ -1418,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "length_histogram": q_length_histogram,
         "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -1471,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": ORACLE_VOCAB_TOPK,
         "length_histogram": ORACLE_LENGTH_HISTOGRAM,
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
