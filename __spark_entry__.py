@@ -589,18 +589,87 @@ FROM c
 
 
 def q_span_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis over the interleaved-span documents (rows-only: the
-    spans table is the engine's synthetic fixture)."""
+    """Text analysis over interleaved-span documents, ORACLE-CHECKED: each
+    flat driver document is wrapped into the input_hint spans schema — its
+    text split at the first space into two text spans plus two media spans,
+    with the array built in REVERSED offset order so the operator's
+    offset-sort + filter + rejoin is genuinely exercised — and the profile
+    of the reassembled text must equal the profile DuckDB computes directly
+    over the flat ``documents`` table."""
     from homonim_spark.operators.textops import span_text_profile
-    docs, tiles = _raster_spark(spark)
-    return span_text_profile(docs).orderBy("doc_id")
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    has_space = F.instr(t, " ") > 0
+    part1 = F.substring_index(t, " ", 1)
+    part2 = F.expr("substring(text, instr(text, ' ') + 1)")
+
+    def span(kind, text, off):
+        return F.struct(F.lit(kind).alias("kind"), text.alias("text"),
+                        F.lit("").alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    spans = F.when(has_space, F.array(
+        span("media", F.lit(""), 3), span("text", part2, 2),
+        span("media", F.lit(""), 1), span("text", part1, 0),
+    )).otherwise(F.array(span("media", F.lit(""), 1), span("text", t, 0)))
+    wrapped = docs.select("doc_id", spans.alias("spans"))
+    return span_text_profile(wrapped).orderBy("doc_id")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over binary media payloads (rows-only)."""
+    """Multimodal raw-f32 feature extraction ORACLE-CHECKED: per-payload
+    byte size, dims, float64 mean/std and valid share over a dyadic
+    gradient fixture (src = (ref+2)/2 — every float32 payload value and
+    float64 sum is exact), reproduced by DuckDB from a generate_series
+    rebuild of each tile's pixels."""
+    from homonim_spark import datagen
     from homonim_spark.operators.multimodal import media_features
-    docs, tiles = _raster_spark(spark)
-    return media_features(tiles).orderBy("media_ref")
+
+    spec = datagen.RasterFixtureSpec(pair_id="mf", cells=(2, 2), tile=8,
+                                     factor=2, bands=2,
+                                     true_gain=2.0, true_offset=-2.0)
+    _, tiles_pdf = datagen.build_pair_tables(spec)
+    tiles = spark.createDataFrame(tiles_pdf, schema=datagen.TILES_SCHEMA)
+    out = media_features(tiles)
+    return out.select(
+        "media_ref", "codec", "n_bytes", "width", "height",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 6) + F.lit(0.0)).alias("std"),
+        (F.round("p_valid", 6) + F.lit(0.0)).alias("p_valid"),
+    ).orderBy("media_ref")
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH px AS (
+  SELECT 'ref' AS role, band, r // 8 AS cr, c // 8 AS cc, 8 AS dim,
+         CAST((band + 1) * (1 + ((r * 10 + c) % 200)) AS DOUBLE) AS v,
+         (r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14) AS valid
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b
+  UNION ALL
+  SELECT 'src', band, r // 16, c // 16, 16,
+         ((band + 1) * (1 + (((r // 2) * 10 + (c // 2)) % 200)) + 2.0) / 2.0,
+         (r BETWEEN 2 AND 29 AND c BETWEEN 2 AND 29)
+  FROM generate_series(0, 31) t1(r), generate_series(0, 31) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b
+)
+SELECT 'tile://mf/' || role || '/' || band || '/' || cr || '/' || cc AS media_ref,
+       'raw-f32' AS codec,
+       CAST(dim * dim * 4 AS BIGINT) AS n_bytes,
+       CAST(dim AS INT) AS width, CAST(dim AS INT) AS height,
+       ROUND(SUM(CASE WHEN valid THEN v END)
+             / SUM(CASE WHEN valid THEN 1 ELSE 0 END), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(
+             SUM(CASE WHEN valid THEN v * v END)
+               / SUM(CASE WHEN valid THEN 1 ELSE 0 END)
+             - POW(SUM(CASE WHEN valid THEN v END)
+                   / SUM(CASE WHEN valid THEN 1 ELSE 0 END), 2), 0)), 6)
+           + 0.0 AS std,
+       ROUND(SUM(CASE WHEN valid THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+           + 0.0 AS p_valid
+FROM px GROUP BY role, band, cr, cc, dim ORDER BY media_ref
+"""
 
 
 def q_fuse_gain_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,6 +1121,16 @@ SELECT doc_id,
 FROM toks ORDER BY doc_id
 """
 
+# span_text_profile reassembles the wrapped spans back into the flat text,
+# so its profile oracle is the flat-text profile + the media-span count
+# (2 when the text was split at a space, 1 otherwise)
+ORACLE_SPAN_TEXT_PROFILE = (
+    "SELECT p.*, CAST(CASE WHEN strpos(d.text, ' ') > 0 THEN 2 ELSE 1 END"
+    " AS INT) AS n_media_spans FROM ("
+    + ORACLE_TEXT_PROFILE.replace("FROM toks ORDER BY doc_id", "FROM toks")
+    + ") p JOIN documents d USING (doc_id) ORDER BY doc_id"
+)
+
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary pass: top-50 words by document frequency."""
@@ -1148,7 +1227,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAMING_DEDUP = r"""
 SELECT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
        MIN(CAST(doc_id AS VARCHAR)) AS canonical_doc_id
-FROM documents GROUP BY 1 ORDER BY fingerprint
+FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY fingerprint
 """
 
 
@@ -1294,25 +1373,220 @@ ORDER BY vec_a, vec_b
 
 
 # ---------------------------------------------------------------------------
-# raster-pipeline operators (no SQL oracle — rows-only checks; numerics are
-# covered by tests/ against closed-form + whole-image numpy oracles)
+# raster-pipeline operators (each ORACLE-CHECKED unless approximate by design)
 # ---------------------------------------------------------------------------
 
-def _fuse_query(model: str, kernel):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from homonim_spark.operators.fuse import fuse
-        from homonim_spark.operators.stats import param_stats
-        docs, tiles = _raster_spark(spark)
-        fused = fuse(docs, tiles, model=model, kernel_shape=kernel,
-                     find_r2=True, r2_inpaint_thresh=None if model != "gain-offset" else 0.25)
-        return param_stats(fused, model=model).orderBy("image_id", "band", "param")
-    return run
+def _rounded_stats(stats: DataFrame) -> DataFrame:
+    """param_stats output rounded for the hash gate (+0.0 folds -0.0)."""
+    return stats.select(
+        "image_id", "band", "param",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 6) + F.lit(0.0)).alias("std"),
+        (F.round("min", 6) + F.lit(0.0)).alias("min"),
+        (F.round("max", 6) + F.lit(0.0)).alias("max"),
+        (F.round("inpaint_p", 6) + F.lit(0.0)).alias("inpaint_p"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("image_id", "band", "param")
+
+
+def q_fuse_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 param stats over a gain-model fuse, ORACLE-CHECKED end-to-end:
+    on this dyadic fixture ref = 2·src EXACTLY (true_offset=0), so every
+    float32 kernel sum is exact, the sliding gain fit is exactly 2.0, the
+    offset plane exactly 0 and R² exactly 1 at every proc pixel.  DuckDB
+    genuinely recomputes the per-pixel fit (window sums + RSS/TSS R²
+    expansion, reference ``kernel_model.py:201``) from generate_series and
+    aggregates with the cumulative-std formula (``stats.py:184``)."""
+    from homonim_spark import datagen
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.stats import param_stats
+
+    spec = datagen.RasterFixtureSpec(pair_id="gs", cells=(2, 2), tile=8,
+                                     factor=2, bands=1,
+                                     true_gain=2.0, true_offset=0.0)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain", kernel_shape=(5, 5), find_r2=True)
+    return _rounded_stats(param_stats(fused, model="gain"))
+
+
+ORACLE_FUSE_GAIN = """
+WITH px AS (
+  SELECT r, c, CAST(1 + ((r * 10 + c) % 200) AS DOUBLE) AS ref,
+         (1 + ((r * 10 + c) % 200)) / 2.0 AS src
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+), nb AS (
+  SELECT a.r, a.c, b.src AS x, b.ref AS y
+  FROM px a JOIN px b ON b.r BETWEEN a.r - 2 AND a.r + 2
+                     AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM nb GROUP BY r, c
+), fit AS (
+  SELECT r, c, sy / sx AS gain, 0.0 AS "offset",
+         1.0 - ((POW(sy / sx, 2) * sxx - 2 * (sy / sx) * sxy + syy) * m)
+             / (m * syy - sy * sy) AS r2
+  FROM agg
+), tall AS (
+  SELECT 'gain' AS param, gain AS v FROM fit
+  UNION ALL SELECT 'offset', "offset" FROM fit
+  UNION ALL SELECT 'r2', r2 FROM fit
+)
+SELECT 'gs' AS image_id, CAST(0 AS INT) AS band, param,
+       ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(SUM(v * v) / COUNT(*)
+             - POW(SUM(v) / COUNT(*), 2), 0)), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS min, ROUND(MAX(v), 6) + 0.0 AS max,
+       CAST(NULL AS DOUBLE) AS inpaint_p,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tall GROUP BY param ORDER BY param
+"""
+
+
+def q_fuse_gain_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param stats over a gain-offset (OLS) fuse, ORACLE-CHECKED: on the
+    dyadic fixture ref = 2·src − 2 EXACTLY, so the per-window OLS recovers
+    exactly (2, −2), R² is exactly 1 and no inpainting triggers; the r2
+    row's ``inpaint_p`` is genuinely recomputed (share of R² < 0.25 = 0).
+    DuckDB redoes the full OLS + R² expansion per pixel and aggregates."""
+    from homonim_spark import datagen
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.stats import param_stats
+
+    spec = datagen.RasterFixtureSpec(pair_id="gos", cells=(2, 2), tile=8,
+                                     factor=2, bands=1,
+                                     true_gain=2.0, true_offset=-2.0)
+    docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain-offset", kernel_shape=(5, 5),
+                 find_r2=True, r2_inpaint_thresh=0.25)
+    return _rounded_stats(param_stats(fused, model="gain-offset"))
+
+
+ORACLE_FUSE_GAIN_OFFSET = """
+WITH px AS (
+  SELECT r, c, CAST(1 + ((r * 10 + c) % 200) AS DOUBLE) AS ref,
+         (1 + ((r * 10 + c) % 200) + 2.0) / 2.0 AS src
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+), nb AS (
+  SELECT a.r, a.c, b.src AS x, b.ref AS y
+  FROM px a JOIN px b ON b.r BETWEEN a.r - 2 AND a.r + 2
+                     AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM nb GROUP BY r, c
+), fit0 AS (
+  SELECT r, c, m, sx, sy, sxx, sxy, syy,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS g
+  FROM agg
+), fit AS (
+  SELECT r, c, g AS gain, (sy - g * sx) / m AS "offset",
+         1.0 - ((g * g * sxx + 2 * g * ((sy - g * sx) / m) * sx
+                 - 2 * g * sxy - 2 * ((sy - g * sx) / m) * sy + syy
+                 + m * POW((sy - g * sx) / m, 2)) * m)
+             / (m * syy - sy * sy) AS r2
+  FROM fit0
+), tall AS (
+  SELECT 'gain' AS param, gain AS v FROM fit
+  UNION ALL SELECT 'offset', "offset" FROM fit
+  UNION ALL SELECT 'r2', r2 FROM fit
+)
+SELECT 'gos' AS image_id, CAST(0 AS INT) AS band, param,
+       ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(SUM(v * v) / COUNT(*)
+             - POW(SUM(v) / COUNT(*), 2), 0)), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS min, ROUND(MAX(v), 6) + 0.0 AS max,
+       ROUND(CASE WHEN param = 'r2'
+                  THEN 100.0 * SUM(CASE WHEN v < 0.25 THEN 1 ELSE 0 END)
+                       / COUNT(*) END, 6) + 0.0 AS inpaint_p,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tall GROUP BY param ORDER BY param
+"""
+
+
+def q_fuse_gain_blk_offset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param stats over the BASELINE-metric gain-blk-offset fuse,
+    ORACLE-CHECKED: the blknorm fixture makes the folded params exactly
+    (G, C) per chunk and R² exactly 1 (see ``q_fuse_gain_blk_offset``);
+    DuckDB genuinely recomputes the block norm (stddev_pop +
+    quantile_cont), the sliding fit on the normalized source, the fold AND
+    the R² expansion per pixel, then aggregates with the cumulative-std
+    formula over all 4 chunks' distinct parameter values."""
+    from homonim_spark import datagen
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.stats import param_stats
+
+    docs_pdf, tiles_pdf = datagen.build_blknorm_tables()
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 chunk=1, find_r2=True)
+    return _rounded_stats(param_stats(fused, model="gain-blk-offset"))
+
+
+ORACLE_FUSE_GAIN_BLK_OFFSET_STATS = """
+WITH base AS (
+  SELECT r, c, 2 * (r // 16) + (c // 16) AS cell
+  FROM generate_series(0, 31) t1(r), generate_series(0, 31) t2(c)
+  WHERE (r % 16) BETWEEN 3 AND 12 AND (c % 16) BETWEEN 3 AND 12
+), px AS (
+  SELECT r, c, cell,
+         CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE) AS src,
+         [2.0, 0.5, 1.5, 2.5][cell + 1]
+           * CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE)
+           + [3.0, -1.0, 0.5, 2.0][cell + 1] AS ref
+  FROM base
+), norm AS (
+  SELECT cell,
+         stddev_pop(ref) / stddev_pop(src) AS g_norm,
+         quantile_cont(ref, 0.01)
+           - quantile_cont(src, 0.01) * (stddev_pop(ref) / stddev_pop(src)) AS c_norm
+  FROM px GROUP BY cell
+), npx AS (
+  SELECT p.r, p.c, p.cell, p.ref, p.src * nm.g_norm + nm.c_norm AS srcn,
+         nm.g_norm, nm.c_norm
+  FROM px p JOIN norm nm ON nm.cell = p.cell
+), nb AS (
+  SELECT a.r, a.c, a.cell, a.g_norm, a.c_norm, b.srcn AS x, b.ref AS y
+  FROM npx a JOIN npx b ON b.r BETWEEN a.r - 2 AND a.r + 2
+                       AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, cell, g_norm, c_norm, COUNT(*) AS m, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+         SUM(y * y) AS syy
+  FROM nb GROUP BY r, c, cell, g_norm, c_norm
+), fit AS (
+  SELECT r, c, (sy / sx) * g_norm AS gain, (sy / sx) * c_norm AS "offset",
+         1.0 - ((POW(sy / sx, 2) * sxx - 2 * (sy / sx) * sxy + syy) * m)
+             / (m * syy - sy * sy) AS r2
+  FROM agg
+), tall AS (
+  SELECT 'gain' AS param, gain AS v FROM fit
+  UNION ALL SELECT 'offset', "offset" FROM fit
+  UNION ALL SELECT 'r2', r2 FROM fit
+)
+SELECT 'blk' AS image_id, CAST(0 AS INT) AS band, param,
+       ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(SUM(v * v) / COUNT(*)
+             - POW(SUM(v) / COUNT(*), 2), 0)), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS min, ROUND(MAX(v), 6) + 0.0 AS max,
+       CAST(NULL AS DOUBLE) AS inpaint_p,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tall GROUP BY param ORDER BY param
+"""
 
 
 def q_fuse_rgb_band_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-band fuse with wavelength band matching: reference bands stored in
-    reverse spectral order are re-keyed via the greedy wavelength match
-    (J2-J4) before pairing; per-band param stats returned (rows-only)."""
+    """3-band fuse with wavelength band matching, ORACLE-CHECKED: reference
+    bands stored in reverse spectral order are re-keyed via the greedy
+    wavelength match (J2-J4) before pairing.  With the dyadic relation
+    ref = 2·src per CORRECTLY-matched band, every fitted gain is exactly
+    2.0 and offset exactly 0; a mis-matched pairing would instead fit
+    2·(3−b)/(b+1) ≠ 2, so the oracle discriminates matching errors.
+    DuckDB recomputes the block norm + sliding fit per band."""
     import pandas as pd
     from homonim_spark import datagen
     from homonim_spark.operators.fuse import fuse
@@ -1320,7 +1594,8 @@ def q_fuse_rgb_band_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homonim_spark.operators.stats import param_stats
 
     spec = datagen.RasterFixtureSpec(pair_id="rgb", cells=(4, 4), tile=16,
-                                     factor=2, bands=3)
+                                     factor=2, bands=3,
+                                     true_gain=2.0, true_offset=0.0)
     docs_pdf, tiles_pdf = datagen.build_pair_tables(spec)
     t = tiles_pdf.copy()
     is_ref = t.role == "ref"
@@ -1332,18 +1607,133 @@ def q_fuse_rgb_band_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
                  band_map=bm)
-    return param_stats(fused).orderBy("image_id", "band", "param")
+    return _rounded_stats(param_stats(fused))
+
+
+ORACLE_FUSE_RGB_BAND_MATCHED = """
+WITH px AS (
+  SELECT band, r, c,
+         CAST((band + 1) * (1 + ((r * 10 + c) % 200)) AS DOUBLE) AS ref,
+         (band + 1) * (1 + ((r * 10 + c) % 200)) / 2.0 AS src
+  FROM generate_series(0, 63) t1(r), generate_series(0, 63) t2(c),
+       (SELECT UNNEST([0, 1, 2]) AS band) b
+  WHERE r BETWEEN 1 AND 62 AND c BETWEEN 1 AND 62
+), norm AS (
+  SELECT band,
+         stddev_pop(ref) / stddev_pop(src) AS g_norm,
+         quantile_cont(ref, 0.01)
+           - quantile_cont(src, 0.01) * (stddev_pop(ref) / stddev_pop(src)) AS c_norm
+  FROM px GROUP BY band
+), npx AS (
+  SELECT p.band, p.r, p.c, p.ref, p.src * nm.g_norm + nm.c_norm AS srcn,
+         nm.g_norm, nm.c_norm
+  FROM px p JOIN norm nm ON nm.band = p.band
+), nb AS (
+  SELECT a.band, a.r, a.c, a.g_norm, a.c_norm, b.srcn AS x, b.ref AS y
+  FROM npx a JOIN npx b ON b.band = a.band
+                       AND b.r BETWEEN a.r - 2 AND a.r + 2
+                       AND b.c BETWEEN a.c - 2 AND a.c + 2
+), fit AS (
+  SELECT band, r, c,
+         (SUM(y) / SUM(x)) * ANY_VALUE(g_norm) AS gain,
+         (SUM(y) / SUM(x)) * ANY_VALUE(c_norm) AS "offset"
+  FROM nb GROUP BY band, r, c
+), tall AS (
+  SELECT band, 'gain' AS param, gain AS v FROM fit
+  UNION ALL SELECT band, 'offset', "offset" FROM fit
+)
+SELECT 'rgb' AS image_id, CAST(band AS INT) AS band, param,
+       ROUND(SUM(v) / COUNT(*), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(SUM(v * v) / COUNT(*)
+             - POW(SUM(v) / COUNT(*), 2), 0)), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS min, ROUND(MAX(v), 6) + 0.0 AS max,
+       CAST(NULL AS DOUBLE) AS inpaint_p,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tall GROUP BY band, param ORDER BY band, param
+"""
 
 
 def q_raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10 compare with the cross-band Mean summary row, ORACLE-CHECKED
+    over two dyadic 2-band image pairs (src exactly (ref+2)/2 resp.
+    2·(ref−1), so every float64 partial sum is exact); DuckDB recomputes
+    the per-band PCC²/RMSE/rRMSE and the Mean row (AVG over bands,
+    floor-divided n) from a generate_series rebuild."""
+    from homonim_spark import datagen
     from homonim_spark.operators.compare import compare_with_mean
-    docs, tiles = _raster_spark(spark)
-    return compare_with_mean(tiles).orderBy("image_id", "band")
+
+    specs = [
+        datagen.RasterFixtureSpec(pair_id="rcA", cells=(2, 2), tile=8,
+                                  factor=2, bands=2,
+                                  true_gain=2.0, true_offset=-2.0),
+        datagen.RasterFixtureSpec(pair_id="rcB", cells=(2, 2), tile=8,
+                                  factor=2, bands=2,
+                                  true_gain=0.5, true_offset=1.0),
+    ]
+    _, tiles_pdf = datagen.build_fixture_tables(specs)
+    tiles = spark.createDataFrame(tiles_pdf, schema=datagen.TILES_SCHEMA)
+    out = compare_with_mean(tiles)
+    return out.select(
+        "image_id", F.col("band").cast("int").alias("band"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
+        (F.round("rmse", 6) + F.lit(0.0)).alias("rmse"),
+        (F.round("rrmse", 6) + F.lit(0.0)).alias("rrmse"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("image_id", "band")
+
+
+ORACLE_RASTER_COMPARE = """
+WITH px AS (
+  SELECT img, band,
+         CAST((band + 1) * (1 + ((r * 10 + c) % 200)) AS DOUBLE) AS ref,
+         CASE WHEN img = 'rcA'
+              THEN ((band + 1) * (1 + ((r * 10 + c) % 200)) + 2.0) / 2.0
+              ELSE ((band + 1) * (1 + ((r * 10 + c) % 200)) - 1.0) * 2.0
+         END AS src
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b,
+       (SELECT UNNEST(['rcA', 'rcB']) AS img) i
+  WHERE r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14
+), agg AS (
+  SELECT img, band, COUNT(*) AS n, SUM(src) AS ss, SUM(ref) AS rs,
+         SUM(src * src) AS s2, SUM(ref * ref) AS r2s, SUM(src * ref) AS sr,
+         SUM(POW(ref - src, 2)) AS res2
+  FROM px GROUP BY img, band
+), stats AS (
+  SELECT img, band,
+         POW((sr - n * (ss / n) * (rs / n)) /
+             (SQRT(s2 - n * (ss / n) * (ss / n))
+              * SQRT(r2s - n * (rs / n) * (rs / n))), 2) AS r2,
+         SQRT(res2 / n) AS rmse,
+         SQRT(res2 / n) / (rs / n) AS rrmse, n
+  FROM agg
+), unioned AS (
+  SELECT img, CAST(band AS INT) AS band, r2, rmse, rrmse,
+         CAST(n AS BIGINT) AS n
+  FROM stats
+  UNION ALL
+  SELECT img, CAST(NULL AS INT), AVG(r2), AVG(rmse), AVG(rrmse),
+         CAST(SUM(n) / COUNT(n) AS BIGINT)
+  FROM stats GROUP BY img
+)
+SELECT img AS image_id, band,
+       ROUND(r2, 6) + 0.0 AS r2, ROUND(rmse, 6) + 0.0 AS rmse,
+       ROUND(rrmse, 6) + 0.0 AS rrmse, n
+FROM unioned ORDER BY image_id, band
+"""
+
+
+ORACLE_SPAN_ROUNDTRIP = """
+SELECT CAST(8 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_mismatched
+"""
 
 
 def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-sequence equality audit: docs whose (kind, text, media_ref,
-    order) sequence fails to round-trip through explode+regroup. Must be 0."""
+    """Span-sequence equality audit, ORACLE-CHECKED (constants closed-form
+    from the fixture geometry, like ``span_roundtrip_corrected``: scale=2 →
+    2 pairs × 4 cell-row docs = 8 docs; zero mismatches required): docs
+    whose (kind, text, media_ref, order) sequence fails to round-trip
+    through explode+regroup. Must be 0."""
     from homonim_spark.operators.fuse import explode_spans, reassemble_documents
     docs, tiles = _raster_spark(spark)
     rebuilt = reassemble_documents(explode_spans(docs))
@@ -1391,7 +1781,12 @@ SELECT CAST(8 AS BIGINT) AS n_docs, CAST(64 AS BIGINT) AS n_media_spans,
 
 
 def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: tile→footprint point-in-polygon assignment counts."""
+    """J6: tile→footprint point-in-polygon assignment counts,
+    ORACLE-CHECKED: DuckDB reruns the identical even-odd crossing test
+    (same expression, same float64 ops) for every ref-tile cell center and
+    its 4 corners against the seeded footprint polygons — whose vertices
+    are embedded as literals in the oracle SQL — and reproduces the
+    per-footprint tile/boundary counts."""
     from homonim_spark import datagen
     from homonim_spark.operators.spatial import assign_tiles_to_footprints
     docs, tiles = _raster_spark(spark)
@@ -1404,19 +1799,146 @@ def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("footprint_id"))
 
 
+def _footprint_edges_values() -> str:
+    """The seeded footprint polygons as SQL VALUES rows (one per edge) —
+    deterministic (numpy seed 42), full-repr float literals so DuckDB
+    parses the identical doubles the engine uses."""
+    from homonim_spark import datagen
+    fps = datagen.build_footprints(8)
+    rows = []
+    for r in fps.itertuples(index=False):
+        pts = [(p["x"], p["y"]) for p in r.polygon]
+        for i in range(len(pts)):
+            x0, y0 = pts[i]
+            x1, y1 = pts[(i + 1) % len(pts)]
+            rows.append(f"('{r.footprint_id}', {x0!r}, {y0!r}, {x1!r}, {y1!r})")
+    return ",\n    ".join(rows)
+
+
+ORACLE_PIP_ASSIGN = f"""
+WITH cells AS (
+  SELECT r, c FROM generate_series(0, 3) t1(r),
+       (SELECT UNNEST([0, 1, 2, 3, 8, 9, 10, 11]) AS c) t2
+), pts AS (
+  SELECT r, c, v.is_center, (c + v.dx) * 1024.0 AS px, (r + v.dy) * 1024.0 AS py
+  FROM cells, (VALUES (0.5, 0.5, TRUE), (0.0, 0.0, FALSE), (0.0, 1.0, FALSE),
+                      (1.0, 0.0, FALSE), (1.0, 1.0, FALSE)) v(dy, dx, is_center)
+), edges(footprint_id, x0, y0, x1, y1) AS (
+  VALUES
+    {_footprint_edges_values()}
+), tests AS (
+  SELECT e.footprint_id, p.r, p.c, p.is_center, p.px, p.py,
+         SUM(CASE WHEN ((e.y0 > p.py) <> (e.y1 > p.py))
+                   AND p.px < (e.x1 - e.x0) * (p.py - e.y0) / (e.y1 - e.y0) + e.x0
+             THEN 1 ELSE 0 END) % 2 = 1 AS inside
+  FROM pts p CROSS JOIN edges e
+  GROUP BY e.footprint_id, p.r, p.c, p.is_center, p.px, p.py
+), flags AS (
+  SELECT footprint_id, r, c,
+         BOOL_OR(CASE WHEN is_center THEN inside END) AS center_in,
+         BOOL_AND(CASE WHEN NOT is_center THEN inside END) AS corners_in
+  FROM tests GROUP BY footprint_id, r, c
+)
+SELECT footprint_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(CASE WHEN NOT corners_in THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundary
+FROM flags WHERE center_in GROUP BY footprint_id ORDER BY footprint_id
+"""
+
+
 def q_vectorize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster→vector bridge: per-cell polygon bounds + parameter summaries
-    (rows-only; numerics covered in tests)."""
+    """Raster→vector bridge, ORACLE-CHECKED: per-cell polygon bounds in
+    world coordinates + per-cell parameter summaries over the blknorm
+    fixture (folded params exactly (G, C) per chunk, so the cell summaries
+    are exact); DuckDB recomputes the per-pixel fit per cell and the cell
+    rectangle from the packed cell_id arithmetic."""
+    from homonim_spark import datagen
     from homonim_spark.operators.fuse import fuse
     from homonim_spark.operators.stats import vectorize_params
-    docs, tiles = _raster_spark(spark)
-    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5))
-    return vectorize_params(fused).orderBy("image_id", "band", "cell_id")
+
+    docs_pdf, tiles_pdf = datagen.build_blknorm_tables()
+    docs, tiles = datagen.to_spark(spark, docs_pdf, tiles_pdf)
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 chunk=1)
+    v = vectorize_params(fused)
+    return v.select(
+        "image_id", "band", "cell_id",
+        (F.round("x_min", 6) + F.lit(0.0)).alias("x_min"),
+        (F.round("y_min", 6) + F.lit(0.0)).alias("y_min"),
+        (F.round("x_max", 6) + F.lit(0.0)).alias("x_max"),
+        (F.round("y_max", 6) + F.lit(0.0)).alias("y_max"),
+        (F.round("gain_mean", 6) + F.lit(0.0)).alias("gain_mean"),
+        (F.round("gain_std", 6) + F.lit(0.0)).alias("gain_std"),
+        (F.round("offset_mean", 6) + F.lit(0.0)).alias("offset_mean"),
+        (F.round("offset_std", 6) + F.lit(0.0)).alias("offset_std"),
+        (F.round("r2_mean", 6) + F.lit(0.0)).alias("r2_mean"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+    ).orderBy("cell_id")
+
+
+ORACLE_VECTORIZE_PARAMS = """
+WITH base AS (
+  SELECT r, c, 2 * (r // 16) + (c // 16) AS cell
+  FROM generate_series(0, 31) t1(r), generate_series(0, 31) t2(c)
+  WHERE (r % 16) BETWEEN 3 AND 12 AND (c % 16) BETWEEN 3 AND 12
+), px AS (
+  SELECT r, c, cell,
+         CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE) AS src,
+         [2.0, 0.5, 1.5, 2.5][cell + 1]
+           * CAST([4, 6, 8, 10][cell + 1] + 2 * ((r + c) % 2) AS DOUBLE)
+           + [3.0, -1.0, 0.5, 2.0][cell + 1] AS ref
+  FROM base
+), norm AS (
+  SELECT cell,
+         stddev_pop(ref) / stddev_pop(src) AS g_norm,
+         quantile_cont(ref, 0.01)
+           - quantile_cont(src, 0.01) * (stddev_pop(ref) / stddev_pop(src)) AS c_norm
+  FROM px GROUP BY cell
+), nb AS (
+  SELECT a.r, a.c, a.cell, b.src AS x, b.ref AS y
+  FROM px a JOIN px b ON b.r BETWEEN a.r - 2 AND a.r + 2
+                     AND b.c BETWEEN a.c - 2 AND a.c + 2
+), agg AS (
+  SELECT r, c, cell, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy
+  FROM nb GROUP BY r, c, cell
+), fit AS (
+  SELECT a.cell,
+         (sy / (g_norm * sx + c_norm * m)) * g_norm AS gain,
+         (sy / (g_norm * sx + c_norm * m)) * c_norm AS "offset"
+  FROM agg a JOIN norm nm ON nm.cell = a.cell
+), cellstats AS (
+  SELECT cell, COUNT(*) AS n_valid,
+         SUM(gain) / COUNT(*) AS gain_mean,
+         SQRT(GREATEST(SUM(gain * gain) / COUNT(*)
+              - POW(SUM(gain) / COUNT(*), 2), 0)) AS gain_std,
+         SUM("offset") / COUNT(*) AS offset_mean,
+         SQRT(GREATEST(SUM("offset" * "offset") / COUNT(*)
+              - POW(SUM("offset") / COUNT(*), 2), 0)) AS offset_std
+  FROM fit GROUP BY cell
+)
+SELECT 'blk' AS image_id, CAST(0 AS INT) AS band,
+       CAST(10 * 288230376151711744 + ((cell // 2) + 268435456) * 536870912
+            + ((cell % 2) + 268435456) AS BIGINT) AS cell_id,
+       ROUND((cell % 2) * 1024.0, 6) + 0.0 AS x_min,
+       ROUND((cell // 2) * 1024.0, 6) + 0.0 AS y_min,
+       ROUND((cell % 2 + 1) * 1024.0, 6) + 0.0 AS x_max,
+       ROUND((cell // 2 + 1) * 1024.0, 6) + 0.0 AS y_max,
+       ROUND(gain_mean, 6) + 0.0 AS gain_mean,
+       ROUND(gain_std, 6) + 0.0 AS gain_std,
+       ROUND(offset_mean, 6) + 0.0 AS offset_mean,
+       ROUND(offset_std, 6) + 0.0 AS offset_std,
+       CAST(NULL AS DOUBLE) AS r2_mean,
+       CAST(n_valid AS BIGINT) AS n_valid
+FROM cellstats ORDER BY cell_id
+"""
 
 
 def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: kNN reference cells for source cells after deterministically
-    deleting every 3rd reference cell (FIXTURES.md §3)."""
+    deleting every 3rd reference cell (FIXTURES.md §3), ORACLE-CHECKED:
+    DuckDB rebuilds the packed cell ids arithmetically, reruns the
+    Chebyshev-ring candidate join and the (ring_dist, ref_cell_id)
+    row_number ranking."""
     from homonim_spark.operators.spatial import knn_ref_tiles
     docs, tiles = _raster_spark(spark)
     src_cells = tiles.filter(F.col("role") == "src").select("cell_id").distinct()
@@ -1427,6 +1949,30 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("cell_id", "knn_rank")
 
 
+ORACLE_KNN_CELLS = """
+WITH cells AS (
+  SELECT CAST(10 * 288230376151711744 + (r + 268435456) * 536870912
+              + (c + 268435456) AS BIGINT) AS cell_id, r, c
+  FROM generate_series(0, 3) t1(r),
+       (SELECT UNNEST([0, 1, 2, 3, 8, 9, 10, 11]) AS c) t2
+), refs AS (
+  SELECT * FROM cells WHERE cell_id % 3 <> 0
+), cand AS (
+  SELECT s.cell_id, f.cell_id AS ref_cell_id,
+         GREATEST(ABS(f.r - s.r), ABS(f.c - s.c)) AS ring_dist
+  FROM cells s JOIN refs f
+    ON ABS(f.r - s.r) <= 3 AND ABS(f.c - s.c) <= 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                               ORDER BY ring_dist, ref_cell_id) AS knn_rank
+  FROM cand
+)
+SELECT cell_id, ref_cell_id, CAST(ring_dist AS BIGINT) AS ring_dist,
+       CAST(knn_rank AS INT) AS knn_rank
+FROM ranked WHERE knn_rank <= 2 ORDER BY cell_id, knn_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1434,7 +1980,12 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: gain-blk-offset 5×5 fuse over the interleaved-documents
     fixture → per-parameter stats (the baseline-metric model)."""
-    return _fuse_query("gain-blk-offset", (5, 5))(spark, "/root/testdata/sf0.001")
+    from homonim_spark.operators.fuse import fuse
+    from homonim_spark.operators.stats import param_stats
+    docs, tiles = _raster_spark(spark)
+    fused = fuse(docs, tiles, model="gain-blk-offset", kernel_shape=(5, 5),
+                 find_r2=True)
+    return param_stats(fused).orderBy("image_id", "band", "param")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1470,15 +2021,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "similarity_topk": q_similarity_topk,
         "embedding_neardup": q_embedding_neardup,
-        # raster pipeline (rows-only; numerics covered in tests/)
-        "fuse_gain": _fuse_query("gain", (5, 5)),
+        # raster pipeline (DuckDB-checked via dyadic closed-form fixtures)
+        "fuse_gain": q_fuse_gain,
         "fuse_gain_k1": q_fuse_gain_k1,
         "raster_compare_k1": q_raster_compare_k1,
         "overview_level1": q_overview_level1,
         "fuse_gain_offset_k5": q_fuse_gain_offset_k5,
         "fuse_gain_blk_offset": q_fuse_gain_blk_offset,
-        "fuse_gain_blk_offset_stats": _fuse_query("gain-blk-offset", (5, 5)),
-        "fuse_gain_offset": _fuse_query("gain-offset", (5, 5)),
+        "fuse_gain_blk_offset_stats": q_fuse_gain_blk_offset_stats,
+        "fuse_gain_offset": q_fuse_gain_offset,
         "fuse_rgb_band_matched": q_fuse_rgb_band_matched,
         "raster_compare": q_raster_compare,
         "span_roundtrip": q_span_roundtrip,
@@ -1529,4 +2080,16 @@ def oracle_sql() -> dict[str, str]:
         "fuse_gain_offset_k5": ORACLE_FUSE_GAIN_OFFSET_K5,
         "fuse_gain_blk_offset": ORACLE_FUSE_GAIN_BLK_OFFSET,
         "span_roundtrip_corrected": ORACLE_SPAN_ROUNDTRIP_CORRECTED,
+        # round-4 conversions: dyadic closed-form fixtures → hash-green
+        "fuse_gain": ORACLE_FUSE_GAIN,
+        "fuse_gain_offset": ORACLE_FUSE_GAIN_OFFSET,
+        "fuse_gain_blk_offset_stats": ORACLE_FUSE_GAIN_BLK_OFFSET_STATS,
+        "fuse_rgb_band_matched": ORACLE_FUSE_RGB_BAND_MATCHED,
+        "raster_compare": ORACLE_RASTER_COMPARE,
+        "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
+        "span_text_profile": ORACLE_SPAN_TEXT_PROFILE,
+        "media_features": ORACLE_MEDIA_FEATURES,
+        "vectorize_params": ORACLE_VECTORIZE_PARAMS,
+        "pip_assign": ORACLE_PIP_ASSIGN,
+        "knn_cells": ORACLE_KNN_CELLS,
     }

@@ -103,16 +103,23 @@ def main(argv=None) -> int:
         docs = spark.read.parquet(args.documents)
         tiles = spark.read.parquet(args.tiles)
         # 'auto' resolves to the lower-res grid inside infer_fuse_config
-        # (the reference rule, raster_pair.py:193-224)
+        # (the reference rule, raster_pair.py:193-224); resolved ONCE here
+        # and shared with fuse() — one metadata-scale collect, not two
+        from homonim_spark.enums import Model, ProcCrs
+        params = KernelModelParams(
+            model=Model(args.model), kernel_shape=tuple(args.kernel),
+            find_r2=args.find_r2, mask_partial=args.mask_partial,
+            sigma_clip=args.sigma_clip, sigma_clip_iters=args.sigma_clip_iters,
+            param_interp=args.param_interp)
+        cfg = infer_fuse_config(tiles, params, proc_crs=ProcCrs(args.proc_crs),
+                                chunk=args.chunk)
         fused = fuse(docs, tiles, model=args.model, kernel_shape=tuple(args.kernel),
                      find_r2=args.find_r2, mask_partial=args.mask_partial,
                      proc_crs=args.proc_crs, chunk=args.chunk,
                      param_interp=args.param_interp,
                      sigma_clip=args.sigma_clip,
-                     sigma_clip_iters=args.sigma_clip_iters)
-        from homonim_spark.enums import ProcCrs
-        cfg = infer_fuse_config(tiles, KernelModelParams(),
-                                proc_crs=ProcCrs(args.proc_crs))
+                     sigma_clip_iters=args.sigma_clip_iters,
+                     cfg=cfg)
         # corrected tiles live on the src grid; the h/w columns record the
         # param (proc-grid) tile size — scale between them:
         scale_h = (cfg.src_scale + cfg.ref_scale - 1) // cfg.ref_scale \

@@ -5,10 +5,11 @@ The reference reprojects CRS-mismatched pairs through a ``WarpedVRT``
 fixtures (``/root/reference/tests/conftest.py:377-517``).  This module gives
 the engine's ingest regrid the same capability for the common public CRSs
 without GDAL: geographic WGS84 (EPSG:4326), spherical Web-Mercator
-(EPSG:3857) and ellipsoidal UTM (EPSG:326xx/327xx, Transverse Mercator via
+(EPSG:3857), ellipsoidal UTM (EPSG:326xx/327xx, Transverse Mercator via
 the 6th-order Krüger series — the standard closed-form used by every
 GeographicLib-derived implementation; max error well under 1 mm inside a
-zone).
+zone), and the MODIS sinusoidal grid (the reference tutorial's MODIS↔UTM
+pairing).
 
 All functions are vectorized over numpy arrays; everything pivots through
 lon/lat degrees.  Axis convention follows the affine-transform convention
@@ -26,6 +27,10 @@ _E2 = _F * (2 - _F)
 
 # Web-Mercator sphere radius (EPSG:3857 uses the semi-major axis)
 _R = 6378137.0
+
+# MODIS sinusoidal sphere radius (the SR-ORG:6974 / "+proj=sinu
+# +R=6371007.181" authalic sphere used by every MODIS land product)
+_R_SINU = 6371007.181
 
 # --- Krüger series coefficients (3rd flattening n, 6th order) ---------------
 _N = _F / (2 - _F)
@@ -129,6 +134,27 @@ def utm_to_lonlat(x, y, zone: int, south: bool = False):
     return np.degrees(lam + lam0), np.degrees(phi)
 
 
+def lonlat_to_sinusoidal(lon, lat, radius: float = _R_SINU):
+    """Spherical sinusoidal (MODIS grid): x = R·λ·cosφ, y = R·φ — the CRS
+    of the reference tutorial's MODIS NBAR reference imagery (paired there
+    with UTM aerial source via a WarpedVRT, ``utils.py:190-209``)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    x = radius * np.radians(lon) * np.cos(phi)
+    y = radius * phi
+    return x, y
+
+
+def sinusoidal_to_lonlat(x, y, radius: float = _R_SINU):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    phi = y / radius
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = x / (radius * np.cos(phi))
+    return np.degrees(lam), np.degrees(phi)
+
+
 def _parse(crs: str):
     c = crs.upper().replace(" ", "")
     if c in ("EPSG:4326", "WGS84", "CRS:84"):
@@ -139,10 +165,13 @@ def _parse(crs: str):
         return ("utm", int(c[8:]), False)
     if c.startswith("EPSG:327") and len(c) == 10:
         return ("utm", int(c[8:]), True)
+    if c in ("SINUSOIDAL", "SR-ORG:6974", "ESRI:54008", "MODIS"):
+        return ("sinu",)
     raise ValueError(
         f"unsupported CRS {crs!r}: closed-form transforms cover EPSG:4326, "
-        "EPSG:3857 and UTM EPSG:326xx/327xx (anything else needs a "
-        "pre-warped input, like the reference's WarpedVRT)")
+        "EPSG:3857, UTM EPSG:326xx/327xx and the MODIS sinusoidal grid "
+        "(anything else needs a pre-warped input, like the reference's "
+        "WarpedVRT)")
 
 
 def to_lonlat(crs: str, x, y):
@@ -151,6 +180,8 @@ def to_lonlat(crs: str, x, y):
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     if kind[0] == "webmerc":
         return webmercator_to_lonlat(x, y)
+    if kind[0] == "sinu":
+        return sinusoidal_to_lonlat(x, y)
     return utm_to_lonlat(x, y, kind[1], kind[2])
 
 
@@ -160,6 +191,8 @@ def from_lonlat(crs: str, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if kind[0] == "webmerc":
         return lonlat_to_webmercator(lon, lat)
+    if kind[0] == "sinu":
+        return lonlat_to_sinusoidal(lon, lat)
     return lonlat_to_utm(lon, lat, kind[1], kind[2])
 
 

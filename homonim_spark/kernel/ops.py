@@ -303,28 +303,53 @@ def param_upsampler(name: str):
             "cubic": upsample_cubic_masked}[name]
 
 
-def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray, max_iter: int = 512) -> np.ndarray:
-    """Fill pixels where ``valid_mask`` is False from surrounding valid data.
-
-    The reference uses rasterio's ``fillnodata`` (inverse-distance-weighted,
-    ``/root/reference/homonim/kernel_model.py:366``).  DOCUMENTED DEVIATION:
-    this is an iterative nearest-front mean fill (repeated 3×3 valid-neighbor
-    averaging) — it agrees with IDW on the reference's own inpainting test
-    criterion (inpainted offsets pulled toward surrounding values,
-    ``tests/test_kernel_model.py:166-203``) and is deterministic.
-    """
+def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray,
+                max_search: int = 100) -> np.ndarray:
+    """Inverse-distance-weighted fill of pixels where ``valid_mask`` is
+    False, matching the semantics of rasterio/GDAL ``fillnodata`` that the
+    reference uses for offset inpainting
+    (``/root/reference/homonim/kernel_model.py:366``): each nodata pixel
+    takes the 1/distance-weighted average of the nearest valid pixel in
+    each of the four axis directions within ``max_search`` px (GDAL's
+    default search distance; smoothing_iterations=0, the reference's
+    call).  Four vectorized scanline passes — O(h·w), no iteration to a
+    fixed point (the previous nearest-front mean fill was a documented
+    deviation; this removes it).  Pixels with no valid pixel in reach keep
+    their input value, like GDAL."""
     out = arr.astype(np.float32, copy=True)
-    filled = valid_mask.copy()
-    out[~filled] = 0.0
-    for _ in range(max_iter):
-        if filled.all():
-            break
-        fm = filled.astype(np.float32)
-        nb_cnt = box_sum(fm, (3, 3))
-        nb_sum = box_sum(out * fm, (3, 3))
-        grow = (~filled) & (nb_cnt > 0)
-        if not grow.any():
-            break
-        out[grow] = (nb_sum[grow] / nb_cnt[grow]).astype(np.float32)
-        filled |= grow
+    h, w = arr.shape
+    v = np.where(valid_mask, arr.astype(np.float64), np.nan)
+    vsum = np.zeros((h, w))
+    wsum = np.zeros((h, w))
+
+    def accumulate(val, dist):
+        ok = (dist > 0) & (dist <= max_search) & ~np.isnan(val)
+        wgt = np.where(ok, 1.0 / np.where(ok, dist, 1.0), 0.0)
+        np.add(vsum, np.where(ok, wgt * val, 0.0), out=vsum)
+        np.add(wsum, wgt, out=wsum)
+
+    for axis, reverse in ((1, False), (1, True), (0, False), (0, True)):
+        val = np.full((h, w), np.nan)
+        dist = np.full((h, w), np.inf)
+        n_lines = w if axis == 1 else h
+        other = h if axis == 1 else w
+        last_val = np.full(other, np.nan)
+        last_d = np.full(other, np.inf)
+        idx = range(n_lines - 1, -1, -1) if reverse else range(n_lines)
+        for i in idx:
+            line_valid = valid_mask[:, i] if axis == 1 else valid_mask[i]
+            line_v = v[:, i] if axis == 1 else v[i]
+            last_d = last_d + 1
+            last_val = np.where(line_valid, line_v, last_val)
+            last_d = np.where(line_valid, 0.0, last_d)
+            if axis == 1:
+                val[:, i] = last_val
+                dist[:, i] = last_d
+            else:
+                val[i] = last_val
+                dist[i] = last_d
+        accumulate(val, dist)
+
+    fill = (~valid_mask) & (wsum > 0)
+    out[fill] = (vsum[fill] / wsum[fill]).astype(np.float32)
     return out

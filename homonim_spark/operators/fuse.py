@@ -823,6 +823,7 @@ def fuse(
     sigma_clip: Optional[float] = None,
     sigma_clip_iters: int = 2,
     param_interp: str = "bilinear",
+    cfg: Optional[FuseConfig] = None,
 ) -> DataFrame:
     """Run the full fuse pipeline; returns the fused-tile DataFrame
     (corrected src tiles + gain/offset/r2 parameter tiles per cell).
@@ -848,7 +849,11 @@ def fuse(
         sigma_clip=sigma_clip, sigma_clip_iters=sigma_clip_iters,
         param_interp=param_interp,
     )
-    cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs), chunk=chunk)
+    if cfg is None:
+        cfg = infer_fuse_config(tiles, params, ProcCrs(proc_crs), chunk=chunk)
+    # (callers that already resolved the config — e.g. the CLI, which also
+    # needs cfg for the sink scale — pass it in to avoid a second
+    # metadata-scale collect over the tile table)
     used = referenced_tiles(documents, tiles)
     if band_map is not None:
         used = apply_band_map(used, band_map)

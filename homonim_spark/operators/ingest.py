@@ -95,7 +95,9 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
                 arr = decode_tile(r.data, r.h, r.w)
                 a, b, c, d, e, f_ = [float(v) for v in r.transform]
                 tile_crs = getattr(r, "crs", None) if has_crs else None
-                warp = bool(tile_crs) and tile_crs != grid_crs
+                # NULL crs (e.g. a GTiff with no GeoKey directory) → assume
+                # grid CRS, the documented legacy contract
+                warp = isinstance(tile_crs, str) and tile_crs != grid_crs
                 # covered cell range from the tile boundary (corners alone
                 # underestimate under a curved warp — sample the perimeter)
                 t = np.linspace(0.0, 1.0, 9)
@@ -114,29 +116,39 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
                 # inverse affine (a,b;d,e)
                 det = a * e - b * d
                 ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
-                for cr in range(r0, r1 + 1):
-                    for cc in range(c0, c1 + 1):
-                        # canonical pixel centers of this cell, world coords
-                        gx = (cc * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
-                        gy = (cr * cell_sz) + (np.arange(tile_px) + 0.5) * px_out
-                        WX, WY = np.meshgrid(gx, gy)
-                        if warp:
-                            WX, WY = transform_points(grid_crs, tile_crs,
-                                                      WX.ravel(), WY.ravel())
-                            WX = WX.reshape(tile_px, tile_px)
-                            WY = WY.reshape(tile_px, tile_px)
-                        # world → source pixel coords (center convention:
-                        # pixel (i,j) center at col=j+0.5, row=i+0.5)
-                        px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
-                        py_c = id_ * (WX - c) + ie * (WY - f_) - 0.5
-                        vals = bilinear_sample(arr, py_c, px_c)
+                # ALL covered cells' canonical pixel centers in one canvas:
+                # one transform_points call and one bilinear pass per tile
+                # (the per-cell-loop form made tile_px² warp calls per cell;
+                # per-element arithmetic is unchanged, so payloads are
+                # bit-identical)
+                crs_r = np.arange(r0, r1 + 1)
+                crs_c = np.arange(c0, c1 + 1)
+                gx = (crs_c[:, None] * cell_sz
+                      + (np.arange(tile_px)[None, :] + 0.5) * px_out).ravel()
+                gy = (crs_r[:, None] * cell_sz
+                      + (np.arange(tile_px)[None, :] + 0.5) * px_out).ravel()
+                WX, WY = np.meshgrid(gx, gy)
+                if warp:
+                    fx, fy = transform_points(grid_crs, tile_crs,
+                                              WX.ravel(), WY.ravel())
+                    WX = fx.reshape(WX.shape)
+                    WY = fy.reshape(WY.shape)
+                # world → source pixel coords (center convention:
+                # pixel (i,j) center at col=j+0.5, row=i+0.5)
+                px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
+                py_c = id_ * (WX - c) + ie * (WY - f_) - 0.5
+                vals_all = bilinear_sample(arr, py_c, px_c)
+                for i_r, cr in enumerate(crs_r):
+                    for i_c, cc in enumerate(crs_c):
+                        vals = vals_all[i_r * tile_px:(i_r + 1) * tile_px,
+                                        i_c * tile_px:(i_c + 1) * tile_px]
                         valid = ~np.isnan(vals)
                         if not valid.any():
                             continue
                         out["image_id"].append(r.image_id)
                         out["role"].append(r.role)
                         out["band"].append(int(r.band))
-                        out["cell_id"].append(grid.cell_id(res, cr, cc))
+                        out["cell_id"].append(grid.cell_id(res, int(cr), int(cc)))
                         out["h"].append(tile_px)
                         out["w"].append(tile_px)
                         out["sum"].append(encode_tile(np.where(valid, vals, 0)))
@@ -220,6 +232,7 @@ _BAND_ROW_SCHEMA = T.StructType([
     T.StructField("transform", T.ArrayType(T.DoubleType()), False),
     T.StructField("h", T.IntegerType(), False),
     T.StructField("w", T.IntegerType(), False),
+    T.StructField("crs", T.StringType(), True),
     T.StructField("data", T.BinaryType(), False),
 ])
 
@@ -255,6 +268,7 @@ def gtiff_band_rows(binary_files: DataFrame, role: str,
                     out["transform"].append([float(v) for v in t.transform])
                     out["h"].append(arr.shape[1])
                     out["w"].append(arr.shape[2])
+                    out["crs"].append(t.crs)
                     out["data"].append(encode_tile(arr[band]))
             yield pd.DataFrame(out)
 
@@ -262,10 +276,108 @@ def gtiff_band_rows(binary_files: DataFrame, role: str,
         decode, schema=_BAND_ROW_SCHEMA)
 
 
+def gtiff_window_rows(spark, paths: list, role: str,
+                      nodata: float | None = None,
+                      window_rows: int = 512) -> DataFrame:
+    """Windowed executor-side GTiff decode (S1 at scale, round-3 verdict
+    #4): executors parse each file's IFD (a few KB of seeks — range GETs
+    on object storage), plan block-aligned row windows with a 1-px halo,
+    and each task reads + decodes ONLY its window's block byte ranges.
+    One multi-GB aerial mosaic fans out to height/window_rows bounded
+    tasks instead of one whole-file decode (the reference streams windows
+    the same way, ``raster_array.py:129-199``).
+
+    The 1-px halo makes the downstream bilinear regrid bit-identical to
+    the whole-file path: every canonical pixel's interpolation neighbors
+    exist in at least one window, and halo-overlap fragments carry
+    identical values, so the mosaic average reproduces them exactly.
+    """
+    from homonim_spark.tiffio import read_gtiff_meta, decode_window
+
+    paths_df = spark.createDataFrame(pd.DataFrame({"path": list(paths)}))
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                meta = read_gtiff_meta(p)
+                if meta.transform is None:
+                    raise ValueError(f"{p}: no geo transform tags")
+                step = max(meta.block_h,
+                           (window_rows // meta.block_h) * meta.block_h)
+                for a in range(0, meta.height, step):
+                    b = min(meta.height, a + step)
+                    rows.append({"path": p, "y0": max(0, a - 1),
+                                 "y1": min(meta.height, b + 1)})
+            yield pd.DataFrame(rows, columns=["path", "y0", "y1"])
+
+    units = (paths_df.mapInPandas(plan, schema="path string, y0 int, y1 int")
+             .repartition("path", "y0"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        metas = {}
+        for pdf in batches:
+            out = {f.name: [] for f in _BAND_ROW_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                meta = metas.get(r.path)
+                if meta is None:
+                    meta = metas[r.path] = read_gtiff_meta(r.path)
+                raw = decode_window(r.path, meta, int(r.y0), int(r.y1))
+                arr = raw.astype(np.float32)
+                nd = nodata if nodata is not None else meta.nodata
+                if nd is not None:
+                    arr[raw == nd] = np.nan
+                a, b_, c, d, e, f_ = meta.transform
+                # window-local affine: same pixel scale, origin shifted to
+                # the window's first row
+                tr = [a, b_, b_ * r.y0 + c, d, e, e * r.y0 + f_]
+                stem = r.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                for band in range(arr.shape[0]):
+                    out["image_id"].append(stem)
+                    out["role"].append(role)
+                    out["band"].append(band)
+                    out["transform"].append([float(v) for v in tr])
+                    out["h"].append(arr.shape[1])
+                    out["w"].append(arr.shape[2])
+                    out["crs"].append(meta.crs)
+                    out["data"].append(encode_tile(arr[band]))
+            yield pd.DataFrame(out)
+
+    return units.mapInPandas(decode, schema=_BAND_ROW_SCHEMA)
+
+
+def ingest_gtiff_files_windowed(
+    spark, path: str, role: str, res: int, tile_px: int,
+    nodata: float | None = None, grid_crs: str | None = None,
+    window_rows: int = 512,
+) -> DataFrame:
+    """End-to-end windowed real-file ingestion: glob → IFD-planned window
+    units → per-window executor decode → canonical-grid regrid.  The
+    large-single-file counterpart of :func:`ingest_gtiff_files` (which is
+    one task per FILE and materializes whole files — fine for many small
+    files, a memory spike and parallelism floor for multi-GB mosaics)."""
+    import glob as _glob
+    paths = sorted(_glob.glob(path))
+    if not paths:
+        raise FileNotFoundError(f"no files match {path!r}")
+    return regrid_tiles(gtiff_window_rows(spark, paths, role, nodata,
+                                          window_rows),
+                        res, tile_px, grid_crs=grid_crs)
+
+
 def ingest_gtiff_files(spark, path: str, role: str, res: int, tile_px: int,
-                       nodata: float | None = None) -> DataFrame:
+                       nodata: float | None = None,
+                       grid_crs: str | None = None) -> DataFrame:
     """Scan a directory/glob of GTiffs with ``binaryFile``, decode per-band
     in executors, and regrid onto the canonical cell grid — the end-to-end
-    real-file ingestion used in place of driver-side ``read_gtiff(path)``."""
+    real-file ingestion used in place of driver-side ``read_gtiff(path)``.
+
+    ``grid_crs``: CRS of the canonical grid.  Each file's own CRS comes from
+    its GeoKey directory (ProjectedCSType/GeographicType); files in a
+    different CRS are warped through ``homonim_spark.crs`` during the regrid
+    (the reference's ``WarpedVRT`` path, ``utils.py:190-209``).  ``None``
+    keeps the legacy behaviour: every file is assumed to already be in the
+    grid CRS."""
     bf = spark.read.format("binaryFile").load(path)
-    return regrid_tiles(gtiff_band_rows(bf, role, nodata), res, tile_px)
+    return regrid_tiles(gtiff_band_rows(bf, role, nodata), res, tile_px,
+                        grid_crs=grid_crs)

@@ -148,15 +148,51 @@ def cosine_topk_np(
 
 
 def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-random-projection bucket id: one bit per hyperplane —
-    ``bit_i = (v · p_i) > 0``. Planes are a seeded constant folded into the
-    plan (JVM literal arrays); no Python at execution time."""
+    """Sign-random-projection bucket id as a Column expression: one bit per
+    hyperplane — ``bit_i = (v · p_i) > 0``.
+
+    NOTE: this form folds n_planes × dim float literals into the Catalyst
+    plan and runs one ``aggregate`` dot product per plane per row — fine
+    for ad-hoc use at small dim, but a plan-size/multi-pass hazard at
+    production embedding dims.  The pipelines below use
+    :func:`srp_buckets` (closure-broadcast plane matrix + one sign-GEMM
+    per Arrow batch — O(1) plan size at any dim × n_planes, mirroring the
+    ``ivf_topk`` centroid-matrix fix)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(_dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def srp_buckets(df: DataFrame, vec_col: str, planes: np.ndarray,
+                out_col: str = "bucket") -> DataFrame:
+    """Append an SRP bucket column via one sign-GEMM per Arrow batch.
+
+    The plane matrix travels in the UDF closure (broadcast once per
+    executor), NOT as plan literals: the Catalyst plan is O(1) size at any
+    (dim, n_planes) — at production dims (1024-4096 × 16+ planes) the
+    literal-expression form is the same plan-explosion class as the fixed
+    IVF CASE chain.  One (batch × dim) @ (dim × n_planes) BLAS product +
+    a bit-pack replaces n_planes per-row ``aggregate`` passes."""
+    import pandas as pd
+
+    P = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
+    weights = (np.int64(1) << np.arange(P.shape[1], dtype=np.int64))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + f", {out_col} long"
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf[out_col] = ((X @ P) > 0).astype(np.int64) @ weights
+            yield pdf
+
+    return df.mapInPandas(bucketize, schema=schema)
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
@@ -182,14 +218,14 @@ def lsh_topk(
     O(n·q / 2^{n_planes−probe cost}) candidate volume.
     """
     planes = make_planes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), planes).alias("q_bucket"),
-    )
+    c = srp_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")),
+        "c_vec", planes, "bucket")
+    q = srp_buckets(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")),
+        "q_vec", planes, "q_bucket")
     probes = [F.col("q_bucket")]
     if probe_bits >= 1:
         probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -366,7 +402,7 @@ def embedding_near_duplicates(
         if dim is None:
             raise ValueError("dim required for bucketed mode")
         planes = make_planes(dim, n_planes, seed)
-        cb = c.withColumn("bucket", srp_bucket(F.col("vec"), planes))
+        cb = srp_buckets(c, "vec", planes, "bucket")
         probes = cb.withColumn(
             "bucket",
             F.explode(F.array(

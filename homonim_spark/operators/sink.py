@@ -71,6 +71,13 @@ def convert_tiles(
                     # related by 1/f) — derive the square payload side from
                     # the byte length instead of crashing in the reshape
                     side = int(np.sqrt(n_px))
+                    if side * side != n_px:
+                        raise ValueError(
+                            f"convert_tiles: payload of {n_px} px for "
+                            f"(image_id={r.image_id}, band={r.band}, "
+                            f"cell_id={r.cell_id}) matches neither "
+                            f"h*scale_h x w*scale_h = {hh}x{ww} nor a "
+                            f"square tile; cannot infer geometry")
                     hh = ww = side
                 arr = decode_tile(data, hh, ww)
                 conv_arr = convert_array_dtype(arr, dtype, nodata)

@@ -100,9 +100,17 @@ def _overview_snapshots(spark, corrected, cfg, warehouse, max_levels, min_px):
     lvl_filter = lambda i: (F.col("level") == i) & (F.col("fingerprint") == fp)
     for i, lvl in enumerate(levels):
         if i in done:  # resume across restarts: snapshot already committed
-            out.append(cat.read("overviews", as_of=done[i])
-                       .filter(lvl_filter(i)).drop("level", "fingerprint"))
-            continue
+            prior = cat.read("overviews", as_of=done[i])
+            if "fingerprint" not in prior.columns:
+                # snapshot committed by a pre-fingerprint-column version:
+                # the property matched (same config) but the rows can't be
+                # filtered by fingerprint — recompute the level instead of
+                # raising an unresolved-column AnalysisException
+                done.pop(i)
+            else:
+                out.append(prior.filter(lvl_filter(i))
+                           .drop("level", "fingerprint"))
+                continue
         snap = cat.write(
             lvl.withColumn("level", F.lit(i)).withColumn("fingerprint", F.lit(fp)),
             "overviews", properties={"level": i, "fingerprint": fp})

@@ -237,23 +237,36 @@ def streaming_dedup_exact(
                                             "n_dupes_so_far"])
             return
         canonical, n_seen = (state.get if state.exists else (None, 0))
-        rows = []
+        was_new = canonical is None
+        # min(doc_id) must be taken over ALL pandas chunks of the group —
+        # applyInPandasWithState splits a big group at
+        # arrow.maxRecordsPerBatch, so fixing the canonical at the first
+        # chunk's first row would ignore a smaller doc_id arriving in a
+        # later chunk and break the documented min(doc_id) semantics.
+        batch_min = None
         for pdf in pdfs:
-            for doc_id in sorted(pdf["doc_id"]):
-                if canonical is None:
-                    canonical = doc_id
-                    rows.append((doc_id, fp, 0))
-                n_seen += 1
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                batch_min = m if batch_min is None else min(batch_min, m)
+                n_seen += len(pdf)
+        if was_new and batch_min is not None:
+            canonical = batch_min
         state.update((canonical, n_seen))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
+        rows = ([(canonical, fp, 0)]
+                if was_new and canonical is not None else [])
         yield pd.DataFrame(rows, columns=["doc_id", "fingerprint",
                                           "n_dupes_so_far"])
 
+    # NULL-text docs are excluded (not coalesced into the empty-string
+    # group), matching the batch ``_collapse_exact`` rule and the DuckDB
+    # oracle's WHERE text IS NOT NULL: merging them with genuinely-empty
+    # docs would invent duplicates across semantically different rows.
     keyed = doc_stream.select(
         "doc_id",
-        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))).alias("fingerprint"),
-    )
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    ).filter(F.col("fingerprint").isNotNull())
     return keyed.groupBy("fingerprint").applyInPandasWithState(
         update, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append",

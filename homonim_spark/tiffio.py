@@ -44,6 +44,7 @@ class GeoTiff:
     band_names: list[str] = field(default_factory=list)
     metadata: dict = field(default_factory=dict)
     transform: tuple | None = None  # (px_w, 0, x0, 0, px_h, y0) if present
+    crs: str | None = None          # "EPSG:NNNN" from the GeoKey directory
 
     def masked(self) -> np.ndarray:
         """float64 cube with nodata → NaN."""
@@ -97,6 +98,281 @@ def _parse_gdal_metadata(xml: str):
         else:
             items[name] = val
     return items, band_names
+
+
+@dataclass
+class GTiffMeta:
+    """IFD-only metadata for windowed reads: the block index (byte ranges)
+    plus geometry — parsed with a few KB of seeks, never the pixel data.
+
+    The reference streams windows via GDAL (``raster_array.py:129-199``);
+    this is the engine's equivalent random-access index so ONE multi-GB
+    file fans out to many bounded executor tasks instead of one whole-file
+    decode (round-3 verdict #4)."""
+
+    width: int
+    height: int
+    spp: int
+    dtype: str                      # numpy dtype string, native byte order
+    comp: int                       # 1 = none, 8 = deflate
+    planar: int
+    tiled: bool
+    block_w: int
+    block_h: int
+    offsets: list
+    counts: list
+    nodata: float | None = None
+    transform: tuple | None = None
+    crs: str | None = None
+
+
+def _tag_value_f(f, t, bo: str):
+    """_tag_value against a seekable file instead of a full buffer."""
+    typ, cnt, raw = t
+    size = _TYPE_SIZE.get(typ, 1) * cnt
+    if size <= 4:
+        data = raw[:size]
+    else:
+        (o,) = struct.unpack(bo + "I", raw)
+        f.seek(o)
+        data = f.read(size)
+    if typ == 2:
+        return data.rstrip(b"\0").decode("utf-8", "replace")
+    if typ in (5, 10):
+        vals = struct.unpack(bo + f"{cnt * 2}" + ("I" if typ == 5 else "i"), data)
+        return [vals[i] / vals[i + 1] if vals[i + 1] else float("nan")
+                for i in range(0, len(vals), 2)]
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return data
+    return list(struct.unpack(bo + str(cnt) + fmt, data))
+
+
+def read_gtiff_meta(path: str) -> GTiffMeta:
+    """Parse ONLY the IFD of a classic little-endian GeoTIFF — a few KB of
+    reads regardless of file size (on object storage these become range
+    GETs of the same few KB)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:2] != b"II":
+            raise ValueError("only little-endian (II) classic TIFF supported")
+        bo = "<"
+        magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
+        if magic != 42:
+            raise ValueError(f"not a classic TIFF (magic {magic})")
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        entries = f.read(n * 12 + 4)
+        tags = {}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", entries, i * 12)
+            tags[tag] = (typ, cnt, entries[i * 12 + 8: i * 12 + 12])
+        g = lambda tag, default=None: (_tag_value_f(f, tags[tag], bo)
+                                       if tag in tags else default)
+        width, height = g(256)[0], g(257)[0]
+        spp = g(277, [1])[0]
+        bits = g(258, [8])[0]
+        comp = g(259, [1])[0]
+        planar = g(284, [1])[0]
+        sfmt = g(339, [1])[0]
+        if comp not in (1, 8):
+            raise ValueError(f"unsupported compression {comp}")
+        dtype = f"{_SAMPLE_KIND[sfmt]}{bits // 8}"
+        tiled = 324 in tags
+        if tiled:
+            block_w, block_h = g(322)[0], g(323)[0]
+            offsets, counts = g(324), g(325)
+        else:
+            block_w = width
+            block_h = g(278, [height])[0]
+            offsets, counts = g(273), g(279)
+        nodata = None
+        nd = g(42113)
+        if nd is not None:
+            nodata = float(nd.strip())
+        transform = None
+        scale, tie = g(33550), g(33922)
+        if scale and tie and len(tie) >= 6:
+            transform = (scale[0], 0.0, tie[3] - tie[0] * scale[0],
+                         0.0, -scale[1], tie[4] + tie[1] * scale[1])
+        return GTiffMeta(
+            width=width, height=height, spp=spp, dtype=dtype, comp=comp,
+            planar=planar, tiled=tiled, block_w=block_w, block_h=block_h,
+            offsets=offsets, counts=counts, nodata=nodata,
+            transform=transform, crs=_parse_geokeys(g(34735)),
+        )
+
+
+def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
+    """Decode rows [y0, y1) of all bands by reading ONLY the intersecting
+    blocks' byte ranges — per-task memory is the window plus one block row,
+    independent of file size."""
+    dtype = np.dtype("<" + meta.dtype)
+    decomp = (lambda b: b) if meta.comp == 1 else zlib.decompress
+    out = np.zeros((meta.spp, y1 - y0, meta.width), dtype=dtype.newbyteorder("="))
+    bx = (meta.width + meta.block_w - 1) // meta.block_w
+    by = (meta.height + meta.block_h - 1) // meta.block_h
+    per_plane = bx * by
+    bpb = meta.spp if meta.planar == 1 else 1
+    j_lo = y0 // meta.block_h
+    j_hi = (y1 - 1) // meta.block_h
+    with open(path, "rb") as f:
+        for plane in range(1 if meta.planar == 1 else meta.spp):
+            for j in range(j_lo, j_hi + 1):
+                for i in range(bx):
+                    idx = plane * per_plane + j * bx + i
+                    f.seek(meta.offsets[idx])
+                    raw = np.frombuffer(decomp(f.read(meta.counts[idx])),
+                                        dtype=dtype)
+                    block = raw.reshape(meta.block_h, meta.block_w, bpb)
+                    # global row range of this block ∩ the window
+                    gy0 = j * meta.block_h
+                    r0 = max(y0, gy0)
+                    r1 = min(y1, gy0 + meta.block_h, meta.height)
+                    x0 = i * meta.block_w
+                    x1 = min(x0 + meta.block_w, meta.width)
+                    sub = block[r0 - gy0: r1 - gy0, : x1 - x0]
+                    for b in range(bpb):
+                        band = plane * bpb + b if meta.planar == 2 else b
+                        out[band, r0 - y0: r1 - y0, x0: x1] = sub[:, :, b]
+    return out
+
+
+def write_gtiff(
+    path: str,
+    data: np.ndarray,
+    transform: tuple | None = None,
+    nodata: float | None = None,
+    tile: tuple | None = None,
+    compress: bool = True,
+    epsg: int | None = None,
+) -> None:
+    """Minimal classic-TIFF writer (the read side's inverse): chunky planar,
+    deflate or raw, tiled (``tile=(th, tw)``) or single-strip rows.  Used by
+    tests to synthesize large tiled fixtures and by the whole-file sink for
+    GTiff export parity."""
+    data = np.ascontiguousarray(data)
+    if data.ndim == 2:
+        data = data[None]
+    spp, h, w = data.shape
+    dt = data.dtype
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    blocks = []
+    if tile:
+        th, tw = tile
+        if th % 16 or tw % 16:
+            raise ValueError("TIFF tiles must be multiples of 16")
+        for j in range((h + th - 1) // th):
+            for i in range((w + tw - 1) // tw):
+                pad = np.zeros((th, tw, spp), dtype=dt)
+                sub = data[:, j * th: (j + 1) * th, i * tw: (i + 1) * tw]
+                pad[: sub.shape[1], : sub.shape[2]] = np.moveaxis(sub, 0, -1)
+                blocks.append(pad.tobytes())
+    else:
+        for r in range(h):
+            blocks.append(np.moveaxis(data[:, r: r + 1], 0, -1).tobytes())
+    payload = [zlib.compress(b) if compress else b for b in blocks]
+
+    entries = []  # (tag, type, count, values)
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals if isinstance(vals, (list, tuple)) else [vals]))
+
+    add(256, 4, w); add(257, 4, h)
+    add(258, 3, [bits] * spp)
+    add(259, 3, 8 if compress else 1)
+    add(262, 3, 1)
+    add(277, 3, spp)
+    add(284, 3, 1)
+    add(339, 3, [sfmt] * spp)
+    if tile:
+        add(322, 4, tile[1]); add(323, 4, tile[0])
+    else:
+        add(278, 4, 1)
+    if transform is not None:
+        a, b, c, d, e, f_ = [float(v) for v in transform]
+        add(33550, 12, [a, abs(e), 0.0])
+        add(33922, 12, [0.0, 0.0, 0.0, c, f_, 0.0])
+    if epsg is not None:
+        # minimal GeoKey directory: version 1.1.0, one projected-CS key
+        add(34735, 3, [1, 1, 0, 1, 3072, 0, 1, epsg])
+    if nodata is not None:
+        nd = (f"{nodata:.10g}" + "\0").encode()
+        add(42113, 2, list(nd))
+
+    # layout: header(8) | IFD | out-of-line tag data | blocks
+    def pack_vals(typ, vals):
+        if typ == 2:
+            return bytes(vals)
+        return struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
+
+    n_blocks = len(payload)
+    counts = [len(p) for p in payload]
+    n_entries = len(entries) + 2          # + block offsets/counts tags
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    inline_sz = sum(len(pack_vals(t, v)) for _, t, v in entries
+                    if len(pack_vals(t, v)) > 4)
+    offs_blob_sz = 4 * n_blocks if 4 * n_blocks > 4 else 0
+    blocks_off = data_off + inline_sz + 2 * offs_blob_sz
+    offsets, pos = [], blocks_off
+    for p in payload:
+        offsets.append(pos)
+        pos += len(p)
+    entries.append((324 if tile else 273, 4, offsets))
+    entries.append((325 if tile else 279, 4, counts))
+    entries.sort(key=lambda e: e[0])
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    extra = bytearray()
+    extra_pos = data_off
+    for tag, typ, vals in entries:
+        blob = pack_vals(typ, vals)
+        cnt = len(blob) if typ == 2 else len(vals)
+        if len(blob) <= 4:
+            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, extra_pos)
+            extra += blob
+            extra_pos += len(blob)
+    out += struct.pack("<I", 0)  # no next IFD
+    assert len(out) == data_off, (len(out), data_off)
+    out += extra
+    assert len(out) == blocks_off, (len(out), blocks_off)
+    for p in payload:
+        out += p
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def _parse_geokeys(geokeys: list[int] | None) -> str | None:
+    """EPSG CRS string from the GeoKeyDirectoryTag (34735) SHORT array.
+
+    Layout (GeoTIFF 1.1 §7.1): 4-short header (version, rev, minor, nkeys)
+    then (KeyID, TIFFTagLocation, Count, ValueOffset) per key with the value
+    inline when TIFFTagLocation == 0.  ProjectedCSTypeGeoKey (3072) wins
+    over GeographicTypeGeoKey (2048) — a projected file carries both.
+    32767 = user-defined (no EPSG code) → None, like any absent key.
+    """
+    if not geokeys or len(geokeys) < 4:
+        return None
+    nkeys = geokeys[3]
+    epsg = {}
+    for i in range(nkeys):
+        base = 4 + i * 4
+        if base + 3 >= len(geokeys):
+            break
+        key_id, loc, cnt, val = geokeys[base: base + 4]
+        if loc == 0 and cnt == 1:
+            epsg[key_id] = val
+    for key in (3072, 2048):
+        code = epsg.get(key)
+        if code and code != 32767:
+            return f"EPSG:{code}"
+    return None
 
 
 def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
@@ -182,5 +458,5 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
     return GeoTiff(
         data=out, nodata=nodata,
         band_names=[band_names.get(i, f"B{i + 1}") for i in range(spp)],
-        metadata=meta, transform=transform,
+        metadata=meta, transform=transform, crs=_parse_geokeys(g(34735)),
     )

@@ -227,3 +227,52 @@ def test_cross_crs_regrid_and_fuse_match_same_crs(spark):
     assert both.mean() > 0.9               # near-full shared coverage
     rel = np.abs(cross[both] - native[both]) / np.abs(native[both])
     assert np.nanmax(rel) < 1e-3, np.nanmax(rel)
+
+
+def test_windowed_gtiff_ingestion_matches_whole_file(spark, tmp_path):
+    """Round-3 verdict #4: a large TILED GTiff ingested via IFD-planned
+    window units (bounded per-task memory) must be payload-identical to
+    the whole-file binaryFile decode path, and must actually fan out to
+    multiple window tasks."""
+    from pyspark.sql import functions as F
+
+    from homonim_spark.operators.ingest import (gtiff_band_rows,
+                                                gtiff_window_rows,
+                                                regrid_tiles)
+    from homonim_spark.tiffio import read_gtiff_meta, write_gtiff
+
+    tile_px = 32
+    px = grid.cell_size(RES) / tile_px          # 32 world units
+    h, w = 640, 480                             # 20 x 15 canonical cells
+    rng = np.random.default_rng(11)
+    img = rng.integers(1, 4000, (2, h, w)).astype(np.uint16)
+    img[:, 40:60, 40:80] = 0                    # nodata hole
+    tr = (px, 0.0, 0.0, 0.0, px, 0.0)           # north-up on the cell grid
+    path = str(tmp_path / "big_tiled.tif")
+    write_gtiff(path, img, transform=tr, nodata=0.0, tile=(64, 64),
+                compress=True, epsg=32633)
+
+    meta = read_gtiff_meta(path)
+    assert meta.tiled and meta.crs == "EPSG:32633"
+
+    win = gtiff_window_rows(spark, [path], role="src", window_rows=128)
+    win_pdf = win.select("image_id", "band", "h", "w", "crs").toPandas()
+    # 640 rows / 128-row windows -> 5 windows x 2 bands; each task decodes
+    # at most 128+2 rows (window + 1-px halo), never the whole file
+    assert len(win_pdf) == 10
+    assert win_pdf["h"].max() <= 130 and (win_pdf["w"] == w).all()
+    assert (win_pdf["crs"] == "EPSG:32633").all()
+
+    windowed = regrid_tiles(win, RES, tile_px).cache()
+    whole = regrid_tiles(
+        gtiff_band_rows(spark.read.format("binaryFile").load(path), "src"),
+        RES, tile_px).cache()
+    n = windowed.count()
+    assert n == whole.count() > 0
+    key = ["image_id", "band", "cell_id"]
+    joined = windowed.select(*key, F.md5("data").alias("h_a")).join(
+        whole.select(*key, F.md5("data").alias("h_b")), key, "full")
+    mism = joined.filter(
+        F.col("h_a").isNull() | F.col("h_b").isNull()
+        | (F.col("h_a") != F.col("h_b"))).count()
+    assert mism == 0

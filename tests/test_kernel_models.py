@@ -126,7 +126,10 @@ def test_outlier_r2_and_inpainting(kernel):
     ni_mask = ~np.isnan(no_inpaint[1])
     ip_mask = ~np.isnan(inpaint[1])
     assert not np.allclose(no_inpaint[1][ni_mask], 0.0, atol=1e-1)
-    np.testing.assert_allclose(inpaint[1][ip_mask], 0.0, atol=1e-1)
+    # IDW fill (GDAL fillnodata semantics): inpainted offsets are the
+    # 1/d-weighted average of surrounding ≈0 offsets — within float32
+    # kernel-sum roundoff of 0 (10x tighter than the old front-fill bound)
+    np.testing.assert_allclose(inpaint[1][ip_mask], 0.0, atol=1e-2)
     assert inpaint[0][ip_mask].var() < no_inpaint[0][ni_mask].var()
 
 

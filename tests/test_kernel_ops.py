@@ -68,6 +68,33 @@ def test_fill_nodata_fills_from_neighbors():
     np.testing.assert_allclose(out[valid], 3.0)
 
 
+def test_fill_nodata_idw_weights_match_gdal_semantics():
+    """1/d weighting over the nearest valid pixel per axis direction
+    (rasterio/GDAL fillnodata semantics, reference kernel_model.py:366):
+    a 1x4 row [2, _, _, 8] fills as (2/1 + 8/2)/(1 + 1/2) = 4 and
+    (2/2 + 8/1)/(1/2 + 1) = 6."""
+    arr = np.array([[2.0, 0.0, 0.0, 8.0]], dtype=np.float32)
+    valid = np.array([[True, False, False, True]])
+    out = ops.fill_nodata(arr, valid)
+    np.testing.assert_allclose(out[0], [2.0, 4.0, 6.0, 8.0], rtol=1e-6)
+
+    # 2-D: vertical and horizontal contributions combine; unreachable
+    # pixels (beyond max_search) keep their input value
+    arr2 = np.zeros((3, 3), dtype=np.float32)
+    arr2[0, 1] = 9.0
+    arr2[1, 0] = 3.0
+    valid2 = np.zeros((3, 3), dtype=bool)
+    valid2[0, 1] = valid2[1, 0] = True
+    out2 = ops.fill_nodata(arr2, valid2)
+    # center: up d=1 (9), left d=1 (3) -> (9 + 3) / 2 = 6
+    assert out2[1, 1] == pytest.approx(6.0)
+    far = np.full((1, 5), 7.0, dtype=np.float32)
+    farv = np.array([[True, False, False, False, False]])
+    out3 = ops.fill_nodata(far, farv, max_search=1)
+    assert out3[0, 1] == pytest.approx(7.0)   # within reach
+    assert out3[0, 3] == pytest.approx(7.0)   # input value kept (unreached)
+
+
 def test_upsample_bilinear_masked_identity_and_nan():
     """NaN-safe bilinear: identity at factor 1, no NaN bleed at mask edges,
     plain-bilinear agreement where the full 2x2 support is valid."""

@@ -203,3 +203,42 @@ def test_streaming_dedup_exact(spark, tmp_path):
     run_once().awaitTermination(120)
     kept2 = spark.read.parquet(out_dir).toPandas()
     assert sorted(kept2["doc_id"]) == ["a1", "b1", "d1"]  # c1 dropped by state
+
+
+def test_streaming_dedup_min_across_pandas_chunks(spark, tmp_path):
+    """A fingerprint group larger than arrow.maxRecordsPerBatch is split
+    into multiple pandas chunks within one trigger; the canonical doc must
+    be min(doc_id) over ALL chunks, not the first doc of chunk 1 (ADVICE
+    r3).  doc_ids are fed descending so the minimum arrives LAST."""
+    import pandas as pd
+
+    from homonim_spark.streaming import streaming_dedup_exact
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        in_dir = str(tmp_path / "in")
+        n = 500
+        pdf = pd.DataFrame(
+            [(f"doc-{n - i:04d}", "same text every time") for i in range(n)]
+            + [("zz-null", None)],                  # NULL text: excluded
+            columns=["doc_id", "text"])
+        spark.createDataFrame(pdf, "doc_id string, text string") \
+            .coalesce(1).write.parquet(f"{in_dir}/b1")
+        stream = spark.readStream.schema("doc_id string, text string") \
+            .parquet(f"{in_dir}/*")
+        q = (streaming_dedup_exact(stream)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        kept = spark.read.parquet(str(tmp_path / "out")).toPandas()
+        # one survivor: the smallest doc_id of the whole group; the NULL-text
+        # doc is excluded entirely (matches batch _collapse_exact + oracle)
+        assert list(kept["doc_id"]) == ["doc-0001"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

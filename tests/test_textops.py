@@ -139,6 +139,29 @@ def test_lsh_topk_recalls_near_duplicate(spark, vectors):
     assert list(out["neighbor_id"]) == [1]
 
 
+def test_lsh_topk_high_dim_plan_stays_bounded(spark):
+    """dim=1024 / 16 planes (the round-3 plan-literal hazard scale): the
+    sign-GEMM bucketing must keep the plan free of per-plane literal
+    arrays / aggregate chains and still recall the planted near-dup."""
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((60, 1024)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(1024).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])).cache()
+    out_df = similarity.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0),
+                                 dim=1024, k=1, n_planes=16, probe_bits=1)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    # the literal-plane form folded 16 x 1024 float literals into the plan
+    # (hundreds of KB); the GEMM form's plan is O(1) in dim x planes
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+    out = out_df.toPandas()
+    assert list(out["neighbor_id"]) == [1]
+    nd = similarity.embedding_near_duplicates(
+        vecs, threshold=0.95, exact=False, dim=1024, n_planes=16).toPandas()
+    assert (0, 1) in set(map(tuple, nd[["vec_a", "vec_b"]].values.tolist()))
+
+
 def test_embedding_near_duplicates_exact_vs_bucketed(spark, vectors):
     exact = similarity.embedding_near_duplicates(vectors, threshold=0.95, exact=True).toPandas()
     assert set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist())) == {(0, 1)}
