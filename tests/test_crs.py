@@ -50,3 +50,31 @@ def test_transform_points_dispatch_and_identity():
     assert np.allclose([xu, yu], [xu2, yu2])
     with pytest.raises(ValueError):
         crs.transform_points("EPSG:2193", "EPSG:4326", 0, 0)
+
+
+def test_sinusoidal_round_trip_and_anchor():
+    """MODIS sinusoidal (x = R·λ·cosφ on the R=6371007.181 authalic
+    sphere): machine-precision round trips, the equatorial x = R·λ anchor,
+    and the published MODIS grid half-width π·R ≈ 20 015 109.354 m."""
+    R = 6371007.181
+    for lon, lat in [(18.43, -33.9), (-73.5, 40.5), (0.0, 0.0), (120.0, 60.0)]:
+        x, y = crs.lonlat_to_sinusoidal(np.array([lon]), np.array([lat]))
+        lo, la = crs.sinusoidal_to_lonlat(x, y)
+        assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+    x, y = crs.lonlat_to_sinusoidal(np.array([90.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(R * np.pi / 2, abs=1e-6)
+    assert y[0] == 0.0
+    x180, _ = crs.lonlat_to_sinusoidal(np.array([180.0]), np.array([0.0]))
+    assert x180[0] == pytest.approx(20015109.354, abs=0.01)
+
+
+def test_sinusoidal_dispatch():
+    for name in ("SINUSOIDAL", "SR-ORG:6974", "ESRI:54008"):
+        x, y = crs.transform_points("EPSG:4326", name, 18.43, -33.9)
+        x2, y2 = crs.lonlat_to_sinusoidal(18.43, -33.9)
+        assert np.allclose([x, y], [x2, y2])
+    # MODIS sinusoidal -> UTM 34S pivot (the reference tutorial's pairing)
+    xs, ys = crs.lonlat_to_sinusoidal(18.43, -33.9)
+    xu, yu = crs.transform_points("SINUSOIDAL", "EPSG:32734", xs, ys)
+    xu2, yu2 = crs.lonlat_to_utm(18.43, -33.9, 34, True)
+    assert np.allclose([xu, yu], [xu2, yu2])

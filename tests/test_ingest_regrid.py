@@ -276,3 +276,82 @@ def test_windowed_gtiff_ingestion_matches_whole_file(spark, tmp_path):
         F.col("h_a").isNull() | F.col("h_b").isNull()
         | (F.col("h_a") != F.col("h_b"))).count()
     assert mism == 0
+
+
+def test_modis_sinusoidal_ref_fuses_like_utm_native(spark):
+    """The reference tutorial's CRS pairing: a MODIS-sinusoidal reference
+    raster ingests through the closed-form sinusoidal→UTM warp and fuses
+    to the same params as a UTM-native rendering of the same ground
+    radiance (rel ~1e-3, the reference's proc-crs invariance tolerance)."""
+    from homonim_spark import crs as crsmod
+    from homonim_spark.operators.fuse import fuse
+
+    RES, TILE = 12, 16                      # 256 m cells, 16 m px
+    cell_sz = grid.cell_size(RES)
+    # ~(33.9S, 18.43E): the reference tutorial's Cape Town UTM 34S scene
+    ux, uy = crsmod.lonlat_to_utm(18.43, -33.9, 34, True)
+    cr0, cc0 = int(uy // cell_sz), int(ux // cell_sz)
+    x0, y0 = cc0 * cell_sz, cr0 * cell_sz
+    ext = 4 * cell_sz
+
+    def mk_row(image_id, role, arr, transform, crs):
+        return {"image_id": image_id, "role": role, "band": 0,
+                "transform": transform, "h": arr.shape[0], "w": arr.shape[1],
+                "data": encode_tile(arr.astype(np.float32)), "crs": crs}
+
+    gx = x0 + (np.arange(4 * TILE) + 0.5) * (cell_sz / TILE)
+    gy = y0 + (np.arange(4 * TILE) + 0.5) * (cell_sz / TILE)
+    MX, MY = np.meshgrid(gx, gy)
+    ref_img = _smooth(MX, MY)
+    src_img = (ref_img - 10.0) / 2.0        # true gain 2, offset 10
+    utm_tf = [cell_sz / TILE, 0.0, x0, 0.0, cell_sz / TILE, y0]
+
+    # sinusoidal reference: same ground radiance rendered on a MODIS-grid
+    # pixel raster covering the padded UTM bbox
+    corners_x = np.array([x0 - 64.0, x0 + ext + 64.0, x0 - 64.0, x0 + ext + 64.0])
+    corners_y = np.array([y0 - 64.0, y0 - 64.0, y0 + ext + 64.0, y0 + ext + 64.0])
+    sx, sy = crsmod.transform_points("EPSG:32734", "SINUSOIDAL",
+                                     corners_x, corners_y)
+    sx0, sx1 = sx.min() - 32.0, sx.max() + 32.0
+    sy0, sy1 = sy.min() - 32.0, sy.max() + 32.0
+    nwy, nwx = 128, 128
+    dx, dy = (sx1 - sx0) / nwx, (sy1 - sy0) / nwy
+    sxs = sx0 + (np.arange(nwx) + 0.5) * dx
+    sys_ = sy0 + (np.arange(nwy) + 0.5) * dy
+    SX, SY = np.meshgrid(sxs, sys_)
+    UXm, UYm = crsmod.transform_points("SINUSOIDAL", "EPSG:32734",
+                                       SX.ravel(), SY.ravel())
+    ref_sinu = _smooth(UXm, UYm).reshape(nwy, nwx)
+    sinu_tf = [float(dx), 0.0, float(sx0), 0.0, float(dy), float(sy0)]
+
+    rows_native = [mk_row("p", "ref", ref_img, utm_tf, "EPSG:32734"),
+                   mk_row("p", "src", src_img, utm_tf, "EPSG:32734")]
+    rows_cross = [mk_row("p", "ref", ref_sinu, sinu_tf, "SINUSOIDAL"),
+                  mk_row("p", "src", src_img, utm_tf, "EPSG:32734")]
+
+    outs = []
+    for rows in (rows_native, rows_cross):
+        tiles = regrid_tiles(spark.createDataFrame(pd.DataFrame(rows)),
+                             RES, TILE, grid_crs="EPSG:32734").cache()
+        keep = tiles.filter(
+            (grid.cell_row_col_expr(tiles.cell_id)[0].between(cr0, cr0 + 3))
+            & (grid.cell_row_col_expr(tiles.cell_id)[1].between(cc0, cc0 + 3)))
+        docs = spark.createDataFrame(pd.DataFrame([{
+            "doc_id": "d", "spans": [
+                {"kind": "media", "text": "", "media_ref": r["media_ref"],
+                 "offset": i}
+                for i, r in enumerate(keep.select("media_ref").collect())]}]))
+        fused = fuse(docs, keep, model="gain", kernel_shape=(5, 5)).toPandas()
+        img = np.full((4 * TILE, 4 * TILE), np.nan, dtype=np.float32)
+        for r in fused.itertuples(index=False):
+            rr = grid.cell_row(int(r.cell_id)) - cr0
+            cc = grid.cell_col(int(r.cell_id)) - cc0
+            img[rr * TILE:(rr + 1) * TILE, cc * TILE:(cc + 1) * TILE] = \
+                decode_tile(r.gain, TILE, TILE)
+        outs.append(img)
+
+    native, cross = outs
+    both = ~np.isnan(native) & ~np.isnan(cross)
+    assert both.mean() > 0.9
+    rel = np.abs(cross[both] - native[both]) / np.abs(native[both])
+    assert np.nanmax(rel) < 1e-3, np.nanmax(rel)
