@@ -1280,6 +1280,33 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MINHASH_NEARDUP = ORACLE_NGRAM_JACCARD.replace(">= 0.5", ">= 0.8")
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER collapse, ORACLE-CHECKED: connected
+    components (min-label propagation + pointer jumping) over the MinHash
+    near-dup pairs; DuckDB recomputes the same components with a recursive
+    transitive-closure CTE over the identical (oracle-green) pair set."""
+    from homonim_spark.operators.dedup import (duplicate_clusters,
+                                               minhash_near_duplicates)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, n=3, threshold=0.8)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+ORACLE_NEARDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLE_MINHASH_NEARDUP.replace("ORDER BY doc_a, doc_b", "")
+    + "\n), edges AS (\n"
+    "  SELECT doc_a AS a, doc_b AS b FROM pairs\n"
+    "  UNION SELECT doc_b, doc_a FROM pairs\n"
+    "), reach(a, b) AS (\n"
+    "  SELECT a, a FROM (SELECT DISTINCT a FROM edges)\n"
+    "  UNION SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b\n"
+    ")\n"
+    "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a "
+    "ORDER BY doc_id"
+)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: the 64-bit signature depends on
     Spark's xxhash64, which DuckDB cannot reproduce; semantics are pinned by
@@ -2016,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2070,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
+        "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "media_features_png": ORACLE_MEDIA_FEATURES_PNG,

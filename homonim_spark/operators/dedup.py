@@ -307,6 +307,75 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# near-duplicate cluster collapse (connected components over pair edges)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pair edges:
+    ``(doc_id, cluster_id)`` where ``cluster_id`` = min doc_id of the
+    component — the step a training pipeline runs AFTER pairwise near-dup
+    detection, so each duplicate cluster collapses to ONE canonical doc
+    (transitive closure: a~b and b~c put a,c in one cluster even if the
+    a-c pair was never emitted).
+
+    Distributed min-label propagation with POINTER JUMPING: each round a
+    label takes the min over its neighbors' labels AND its label's label
+    (path halving), so convergence is O(log diameter) rounds, not
+    O(diameter).  Per round: two hash joins + a groupBy — all on
+    (id, label) longs/strings, never payloads — and a ``localCheckpoint``
+    to truncate lineage (on a cluster, set a checkpoint dir and use
+    ``checkpoint``; iteration count is the log of the longest dup chain,
+    single digits in practice).  Rows appear only for ids present in
+    ``pairs``; singleton docs are implicitly their own cluster.
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct().cache())
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("a").alias("b"),
+                                        F.col("label").alias("nl")), "b")
+               .groupBy("a").agg(F.min("nl").alias("nl")))
+        step = (labels.join(nbr, "a", "left")
+                .select("a", F.least("label",
+                                     F.coalesce("nl", "label")).alias("label")))
+        # pointer jumping: label <- min(label, label(label))
+        jump = (step.join(labels.select(F.col("a").alias("label"),
+                                        F.col("label").alias("ll")), "label",
+                          "left")
+                .select("a", F.least("label",
+                                     F.coalesce("ll", "label")).alias("label")))
+        new = jump.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "a")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def collapse_duplicate_clusters(
+    documents: DataFrame, pairs: DataFrame,
+    id_col: str = "doc_id", id_a: str = "doc_a", id_b: str = "doc_b",
+) -> DataFrame:
+    """Keep one canonical document (min doc_id) per near-duplicate
+    cluster; documents in no pair pass through untouched.  The standard
+    corpus-dedup endgame: detection emits pairs, this emits the deduped
+    corpus."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+                            .select(F.col("doc_id").alias(id_col))
+    # plain anti-join: the non-canonical set scales with the dup volume, so
+    # no broadcast hint — AQE picks broadcast when it IS small
+    return documents.join(non_canonical, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -234,3 +234,33 @@ def test_train_ivf_centroids_no_global_sort(spark):
     C2 = similarity.train_ivf_centroids(vecs.repartition(7), n_centroids=4,
                                         iters=3, sample=128)
     assert np.allclose(C1, C2)  # deterministic across partitioning
+
+
+def test_duplicate_clusters_transitive_and_collapse(spark):
+    """Connected components over near-dup pairs: transitivity (a~b, b~c ⇒
+    one cluster even without the a-c pair), a 12-hop chain (pointer
+    jumping must converge well under the iteration cap), and the corpus
+    collapse keeping exactly one canonical doc per cluster."""
+    import pandas as pd
+
+    from homonim_spark.operators.dedup import (collapse_duplicate_clusters,
+                                               duplicate_clusters)
+
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]  # c00..c12
+    pairs = pd.DataFrame(chain + [("a", "b"), ("b", "z"), ("p", "q")],
+                         columns=["doc_a", "doc_b"])
+    out = duplicate_clusters(spark.createDataFrame(pairs)).toPandas() \
+        .set_index("doc_id")["cluster_id"]
+    assert out["a"] == out["b"] == out["z"] == "a"      # transitive via b
+    assert out["p"] == out["q"] == "p"
+    for i in range(13):
+        assert out[f"c{i:02d}"] == "c00"                # 12-hop chain
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "z", "p", "q", "c00", "c05", "solo"],
+                      "text": ["t"] * 8}))
+    kept = collapse_duplicate_clusters(docs, spark.createDataFrame(pairs)) \
+        .toPandas()
+    # canonical per cluster (a, c00, p) + the untouched singleton; c05 is
+    # non-canonical in the chain cluster and b/z/q are non-canonical
+    assert sorted(kept["doc_id"]) == ["a", "c00", "p", "solo"]
