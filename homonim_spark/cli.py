@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--nodata", type=float, default=None)
     f.add_argument("--chunk", type=int, default=4)
     f.add_argument("--param-interp", default="bilinear",
-                   choices=["bilinear", "nearest", "cubic"],
+                   choices=["bilinear", "nearest", "cubic", "lanczos"],
                    help="proc→src parameter upsampling (the reference's "
                         "cubic-spline analogue vs the fast/exact path)")
     f.add_argument("--sigma-clip", type=float, default=None,

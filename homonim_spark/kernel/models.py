@@ -44,13 +44,17 @@ class KernelModelParams:
     #: reference's own abs-2 corrected-value tolerance).  ``"nearest"`` is
     #: the opt-in exact/fast path; ``"cubic"`` (Catmull-Rom) is the closest
     #: analogue of the reference default (needs kernels ≥ 3 for chunked ==
-    #: whole-image: 2 px of halo context).
+    #: whole-image: 2 px of halo context); ``"lanczos"`` (Lanczos-3) is the
+    #: sharpest rasterio option the reference exposes (needs kernels ≥ 5:
+    #: 3 px of halo context).
     param_interp: str = "bilinear"
 
     def __post_init__(self):
-        if self.param_interp not in ("bilinear", "nearest", "cubic"):
+        if self.param_interp not in ("bilinear", "nearest", "cubic",
+                                     "lanczos"):
             raise ConfigError(
-                "`param_interp` must be 'bilinear', 'nearest' or 'cubic'")
+                "`param_interp` must be 'bilinear', 'nearest', 'cubic' "
+                "or 'lanczos'")
         kh, kw = self.kernel_shape
         if kh % 2 != 1 or kw % 2 != 1:
             raise ConfigError("`kernel_shape` must be odd in both dimensions.")

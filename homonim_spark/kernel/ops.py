@@ -236,6 +236,75 @@ def _catmull_rom_weights(t: float):
             np.float32(0.5 * t3 - 0.5 * t2))
 
 
+def _lanczos_weights(t: float, a: int = 3):
+    """2a-tap Lanczos weights at fraction ``t``: w(d) = sinc(d)·sinc(d/a)
+    for taps at distances d = t + (a−1) − m, m = 0..2a−1, normalized to
+    sum 1 (the standard partition-of-unity correction for the windowed
+    sinc).  a = 3 matches GDAL's ``Resampling.lanczos``."""
+    d = float(t) + np.arange(a - 1, -a - 1, -1, dtype=np.float64)
+    w = np.sinc(d) * np.sinc(d / a)
+    w /= w.sum()
+    return w.astype(np.float32)
+
+
+def upsample_lanczos(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """Integer-factor separable Lanczos-3 upsample on pixel-center
+    alignment, edge-replicate borders — the analogue of the reference's
+    ``Resampling.lanczos`` option (``raster_array.py:526-578`` exposes the
+    full rasterio resampling enum; the engine's model paths default to
+    cubic/average like the reference defaults, lanczos is the sharpest
+    opt-in).  Same phase-decomposition strategy as :func:`upsample_cubic`:
+    weights repeat with period f, so each pass is 6 clamped shifts per
+    phase."""
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    h, w = arr.shape
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    out = np.empty((h * fh, w * fw), dtype=np.float32)
+
+    def phase(f: int, i: int):
+        o = (i + 0.5) / f - 0.5
+        b = int(np.floor(o))
+        return b, o - b
+
+    row_cache = {}
+    for i in range(fh):
+        br, ty = phase(fh, i)
+        wy = _lanczos_weights(ty)
+        ri = row_cache.get((br, round(ty, 12)))
+        if ri is None:
+            ri = sum(wy[m] * _shift_rows(a, br - 2 + m) for m in range(6))
+            row_cache[(br, round(ty, 12))] = ri
+        for j in range(fw):
+            bc, tx = phase(fw, j)
+            wx = _lanczos_weights(tx)
+            out[i::fh, j::fw] = sum(
+                wx[m] * _shift_cols(ri, bc - 2 + m) for m in range(6))
+    return out
+
+
+def upsample_lanczos_masked(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
+    """NaN-safe Lanczos-3 upsample (normalized convolution +
+    nearest-validity), mirroring :func:`upsample_cubic_masked`; lanczos
+    negative lobes are larger than cubic's, so the same enlarged
+    weight-sum guard applies."""
+    fh, fw = int(factor[0]), int(factor[1])
+    if fh == 1 and fw == 1:
+        return arr.astype(np.float32, copy=True)
+    valid = ~np.isnan(arr)
+    if valid.all():
+        return upsample_lanczos(arr, factor)
+    v = np.where(valid, arr, np.float32(0.0)).astype(np.float32)
+    num = upsample_lanczos(v, factor)
+    den = upsample_lanczos(valid.astype(np.float32), factor)
+    out = np.full(num.shape, np.nan, dtype=np.float32)
+    np.divide(num, den, out=out, where=np.abs(den) > np.float32(1e-3))
+    nv = upsample_nearest(valid.astype(np.float32), factor) >= 0.5
+    out[~nv] = np.nan
+    return out
+
+
 def upsample_cubic(arr: np.ndarray, factor: Tuple[int, int]) -> np.ndarray:
     """Integer-factor separable cubic (Catmull-Rom) upsample on pixel-center
     alignment, edge-replicate borders — the engine's smooth-interpolation
@@ -300,7 +369,8 @@ def param_upsampler(name: str):
     needs 2 px of halo context, i.e. kernels ≥ 3 for chunk-invariance)."""
     return {"nearest": upsample_nearest,
             "bilinear": upsample_bilinear_masked,
-            "cubic": upsample_cubic_masked}[name]
+            "cubic": upsample_cubic_masked,
+            "lanczos": upsample_lanczos_masked}[name]
 
 
 def fill_nodata(arr: np.ndarray, valid_mask: np.ndarray,

@@ -98,6 +98,20 @@ def test_param_interp_and_sigma_clip_exposed_through_fuse(spark, fixture_tables)
     np.testing.assert_allclose(got_near, want_corr, rtol=1e-4, atol=1e-3,
                                equal_nan=True)
 
+    # lanczos (round-3 verdict missing #5): chunked fuse must reproduce the
+    # whole-image lanczos oracle (k=5 gives the 3-px halo lanczos needs)
+    lan = fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(5, 5),
+                        param_interp="lanczos").toPandas()
+    got_lan = assemble_image(lan, "corr", spec, spec.origin, scale=spec.factor)
+    ref2, src2 = datagen.make_pair_arrays(spec, band=0)
+    _, want_lan = fit_and_apply_ref_space(
+        src2, ref2, KernelModelParams(model=Model.gain, kernel_shape=(5, 5),
+                                      param_interp="lanczos"),
+        (spec.factor, spec.factor))
+    np.testing.assert_allclose(got_lan, want_lan, rtol=1e-4, atol=1e-3,
+                               equal_nan=True)
+    assert not np.allclose(got_lan, got_bil, equal_nan=True)
+
     # sigma-clip plumbing: planted outlier changes the unclipped fit only
     ospec = datagen.RasterFixtureSpec(pair_id="sc", cells=(2, 2), tile=16,
                                       factor=2, outlier=True)

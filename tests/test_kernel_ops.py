@@ -180,5 +180,50 @@ def test_param_upsampler_dispatch():
     assert ops.param_upsampler("nearest") is ops.upsample_nearest
     assert ops.param_upsampler("bilinear") is ops.upsample_bilinear_masked
     assert ops.param_upsampler("cubic") is ops.upsample_cubic_masked
+    assert ops.param_upsampler("lanczos") is ops.upsample_lanczos_masked
     with _pytest.raises(KeyError):
-        ops.param_upsampler("lanczos")
+        ops.param_upsampler("area")
+
+
+def test_upsample_lanczos_against_direct_sinc_oracle():
+    """Separable Lanczos-3: interior pixels must equal a direct (non-
+    separated, per-pixel) normalized windowed-sinc evaluation; constants
+    reproduce exactly everywhere (weights normalized to sum 1)."""
+    rng = np.random.default_rng(17)
+    a = rng.normal(50, 10, (10, 12)).astype(np.float32)
+    f = 2
+    up = ops.upsample_lanczos(a, (f, f))
+
+    def w(d):
+        return np.sinc(d) * np.sinc(d / 3.0)
+
+    for oy in range(6, 12):           # interior: 6x6 support fully inside
+        for ox in range(6, 12):
+            cy = (oy + 0.5) / f - 0.5
+            cx = (ox + 0.5) / f - 0.5
+            by, bx = int(np.floor(cy)), int(np.floor(cx))
+            ys = np.arange(by - 2, by + 4)
+            xs = np.arange(bx - 2, bx + 4)
+            wy = w(cy - ys); wy /= wy.sum()
+            wx = w(cx - xs); wx /= wx.sum()
+            want = wy @ a[np.ix_(ys, xs)].astype(np.float64) @ wx
+            assert up[oy, ox] == pytest.approx(want, abs=1e-3)
+
+    const = np.full((6, 6), 7.25, dtype=np.float32)
+    np.testing.assert_allclose(ops.upsample_lanczos(const, (3, 3)),
+                               np.full((18, 18), 7.25, dtype=np.float32),
+                               rtol=0, atol=1e-5)
+
+
+def test_upsample_lanczos_masked_validity_follows_nearest():
+    a = np.arange(36, dtype=np.float32).reshape(6, 6)
+    a[2, 3] = np.nan
+    up = ops.upsample_lanczos_masked(a, (2, 2))
+    nv = ops.upsample_nearest((~np.isnan(a)).astype(np.float32), (2, 2)) >= 0.5
+    assert np.array_equal(~np.isnan(up), nv)
+    full = ops.upsample_lanczos(np.arange(36, dtype=np.float32).reshape(6, 6),
+                                (2, 2))
+    # lanczos support is 6 input px wide -> the hole perturbs a 3-input-px
+    # (6-7 output-px) ring; exclude it generously
+    far = nv.copy(); far[:, :] = True; far[0:12, 0:12] = False
+    np.testing.assert_allclose(up[far], full[far], atol=1e-3)
