@@ -181,7 +181,11 @@ def test_streaming_dedup_exact(spark, tmp_path):
                        ("a2", "The  quick BROWN fox "),   # dup of a1 (normalized)
                        ("b1", "something else entirely")],
                       columns=["doc_id", "text"])
-    spark.createDataFrame(b1, schema).write.parquet(f"{in_dir}/batch1")
+    # ONE file per micro-batch: multi-file batches split across triggers in
+    # file-mtime order, making WHICH duplicate is first-seen a timing race
+    # (first-seen-wins is the documented cross-trigger semantics; min
+    # doc_id holds within a trigger)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{in_dir}/batch1")
 
     def run_once():
         stream = spark.readStream.schema(schema).option(
@@ -199,7 +203,7 @@ def test_streaming_dedup_exact(spark, tmp_path):
     b2 = pd.DataFrame([("c1", "the quick brown fox"),     # dup ACROSS batches
                        ("d1", "a genuinely new document")],
                       columns=["doc_id", "text"])
-    spark.createDataFrame(b2, schema).write.parquet(f"{in_dir}/batch2")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{in_dir}/batch2")
     run_once().awaitTermination(120)
     kept2 = spark.read.parquet(out_dir).toPandas()
     assert sorted(kept2["doc_id"]) == ["a1", "b1", "d1"]  # c1 dropped by state
