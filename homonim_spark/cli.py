@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mask pixels whose residual exceeds this many block "
                         "σ and refit (north_star extension; off by default)")
     f.add_argument("--sigma-clip-iters", type=int, default=2)
+    f.add_argument("--export-gtiff", default=None, metavar="DIR",
+                   help="additionally write ONE corrected GeoTIFF per image "
+                        "to DIR (the reference's *_FUSE_*.tif artifact); "
+                        "DIR must be shared storage on a real cluster")
+    f.add_argument("--export-epsg", type=int, default=None,
+                   help="EPSG code stamped into exported GeoTIFF GeoKeys")
     f.add_argument("--conf", default=None, metavar="YAML",
                    help="yaml config; fills parameters not given on the "
                         "command line (reference cli.py:88-117 semantics)")
@@ -128,6 +134,12 @@ def main(argv=None) -> int:
         write_corrected(fused, f"{args.out}/corrected", dtype=args.dtype,
                         nodata=args.nodata, scale_h=scale_h)
         fused.drop("corr").write.mode("overwrite").parquet(f"{args.out}/params")
+        if args.export_gtiff:
+            from homonim_spark.operators.sink import export_corrected_gtiff
+            export_corrected_gtiff(
+                fused, args.export_gtiff, dtype=args.dtype,
+                nodata=args.nodata, scale_h=scale_h,
+                epsg=args.export_epsg).collect()
         n_bands = fused.select("band").distinct().count()
         manifest = run_manifest(args.model, tuple(args.kernel),
                                 cfg.proc_crs.value, n_bands,

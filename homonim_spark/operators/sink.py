@@ -113,6 +113,74 @@ def write_corrected(
     w.parquet(path)
 
 
+def export_corrected_gtiff(
+    fused: DataFrame, out_dir: str, dtype: str = "float32",
+    nodata: Optional[float] = None, scale_h: int = 1,
+    res: int = 10, tile: Optional[tuple] = None,
+    compress: bool = True, epsg: Optional[int] = None,
+) -> DataFrame:
+    """S8 file-format parity: write ONE corrected GeoTIFF per image — the
+    artifact a homonim user actually consumes (the reference writes
+    ``*_FUSE_*.tif`` via rasterio, ``fuse.py:193-252``).
+
+    Distributed per image: tiles are dtype-converted by
+    :func:`convert_tiles`, hash-partitioned by ``image_id``, and each
+    group's executor assembles the image canvas from its cells and writes
+    a tiled/deflate GTiff (``tiffio.write_gtiff``) with the canonical-grid
+    transform and nodata tag.  Per-task memory is one output IMAGE — the
+    same bound as the reference's sequential single-file writer; for
+    mosaics beyond executor memory, write windows to the parquet/Iceberg
+    sink instead and export lazily.  Returns (image_id, band?, path, h, w)
+    manifest rows — paths are executor-local, so ``out_dir`` must be
+    shared storage on a real cluster.
+    """
+    from homonim_spark import grid as _grid
+
+    conv = convert_tiles(fused, "corr", dtype, nodata, scale_h)
+    cell_sz = _grid.cell_size(res)
+
+    def write_image(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        t = int(pdf["h"].max())
+        rows = _grid.cell_row(pdf["cell_id"].to_numpy())
+        cols = _grid.cell_col(pdf["cell_id"].to_numpy())
+        r0, c0 = int(rows.min()), int(cols.min())
+        nb = int(pdf["band"].max()) + 1
+        H = (int(rows.max()) - r0 + 1) * t
+        W = (int(cols.max()) - c0 + 1) * t
+        dt = np.dtype(dtype)
+        nd = nodata if nodata is not None else \
+            (np.nan if dt.kind == "f" else 0)
+        canvas = np.full((nb, H, W), nd, dtype=dt)
+        for r in pdf.itertuples(index=False):
+            arr = np.frombuffer(r.data, dtype=dt.newbyteorder("<")) \
+                .reshape(r.h, r.w)
+            rr = (_grid.cell_row(int(r.cell_id)) - r0) * t
+            cc = (_grid.cell_col(int(r.cell_id)) - c0) * t
+            canvas[int(r.band), rr: rr + r.h, cc: cc + r.w] = arr
+        # the engine grid's row axis points toward +y; GeoTIFF convention
+        # is north-up (y decreasing with row) — flip rows and anchor the
+        # tiepoint at the top edge so any GIS reader sees the right world
+        canvas = canvas[:, ::-1, :]
+        px = cell_sz / t
+        transform = (px, 0.0, c0 * cell_sz, 0.0, -px,
+                     (r0 * cell_sz) + H * px)
+        from homonim_spark.tiffio import write_gtiff
+        path = f"{out_dir}/{image_id}_FUSE.tif"
+        write_gtiff(path, canvas, transform=transform,
+                    nodata=None if nodata is None else float(nodata),
+                    tile=tile, compress=compress, epsg=epsg)
+        return pd.DataFrame([{"image_id": image_id, "path": path,
+                              "n_bands": nb, "height": H, "width": W}])
+
+    os_schema = ("image_id string, path string, n_bands int, "
+                 "height int, width int")
+    import os as _os
+    _os.makedirs(out_dir, exist_ok=True)
+    return conv.groupBy("image_id").applyInPandas(write_image,
+                                                  schema=os_schema)
+
+
 def run_manifest(model, kernel_shape, proc_crs, bands: int,
                  find_r2: bool = False, extra: Optional[dict] = None) -> dict:
     """S10: the metadata tag set the reference writes on outputs

@@ -162,3 +162,42 @@ def test_overview_stop_rule_per_image(spark, fused):
                                         F.col("gain").alias("data")), 16,
                              max_levels=8, min_px=8)
     assert len(levels) == 2  # floor(log2(32)) - 3 = 2
+
+
+def test_export_corrected_gtiff_roundtrip(spark, fused, tmp_path):
+    """S8 file parity: the per-image GTiff export must carry every
+    corrected pixel (north-up flip + canonical transform + nodata tag) so
+    that decoding the file reproduces the converted tile payloads
+    bit-for-bit, window by window."""
+    from homonim_spark.operators.sink import export_corrected_gtiff
+    from homonim_spark.tiffio import read_gtiff
+
+    spec, tiles_pdf, fdf = fused
+    out_dir = str(tmp_path / "tifs")
+    manifest = export_corrected_gtiff(
+        fdf, out_dir, dtype="float32", nodata=-9999.0,
+        scale_h=spec.factor, res=datagen.FIXTURE_RES,
+        tile=(32, 32), compress=True, epsg=32734).toPandas()
+    assert list(manifest["image_id"]) == ["s0"]
+    m = manifest.iloc[0]
+    t = spec.tile * spec.factor                       # corrected tile px
+    assert (m["n_bands"], m["height"], m["width"]) == (1, 2 * t, 4 * t)
+
+    g = read_gtiff(m["path"])
+    assert g.crs == "EPSG:32734" and g.nodata == -9999.0
+    # north-up: negative row scale, tiepoint at the top edge
+    assert g.transform[4] < 0
+    px = grid.cell_size(datagen.FIXTURE_RES) / t
+    assert g.transform[0] == pytest.approx(px)
+
+    # un-flip and compare each cell window against convert_tiles' payloads
+    img = g.data[:, ::-1, :]
+    conv = convert_tiles(fdf, "corr", dtype="float32", nodata=-9999.0,
+                         scale_h=spec.factor).toPandas()
+    assert len(conv) == 8
+    for r in conv.itertuples(index=False):
+        rr = grid.cell_row(int(r.cell_id)) * t
+        cc = grid.cell_col(int(r.cell_id)) * t
+        want = np.frombuffer(r.data, dtype="<f4").reshape(t, t)
+        np.testing.assert_array_equal(img[int(r.band), rr:rr + t, cc:cc + t],
+                                      want)
