@@ -1308,14 +1308,45 @@ ORACLE_NEARDUP_CLUSTERS = (
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: the 64-bit signature depends on
-    Spark's xxhash64, which DuckDB cannot reproduce; semantics are pinned by
-    tests/test_textops.py against planted near/exact duplicates).  Exercises
-    the exact-dup collapse + pigeonhole chunk banding at the driver gate."""
+    """SimHash near-dup pairs, ORACLE-CHECKED per pair: the gate runs the
+    pipeline with ``hash_fn='md5'`` (64-bit token hash = first 16 md5 hex
+    chars, reproducible in any engine), so DuckDB can recompute every
+    signature bit (nibble arithmetic on md5 hex), brute-force all pair
+    Hamming distances, and pin the banding+verify answer exactly.  The
+    production default stays xxhash64 (JVM codegen, no md5 round-trip);
+    both paths share ONE aggregate pass and are pinned against planted
+    near/exact duplicates in tests/test_textops.py."""
     from homonim_spark.operators.dedup import simhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    return (simhash_near_duplicates(docs, max_hamming=3)
+    return (simhash_near_duplicates(docs, max_hamming=3, hash_fn="md5")
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("long").alias("hamming"))
             .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_SIMHASH_NEARDUP = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split_regex(
+    TRIM(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')), '\s+'))) AS tok
+  FROM documents WHERE text IS NOT NULL
+), bitv AS (
+  SELECT doc_id, b.j,
+         SUM(CASE WHEN ((CAST('0x' || substr(md5(tok), 16 - b.j//4, 1) AS INT)
+                         >> (b.j % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) b
+  GROUP BY doc_id, b.j
+), sigs AS (
+  SELECT doc_id,
+         CAST(string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                         ORDER BY j DESC) AS BIT) AS sig
+  FROM bitv GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2098,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
+        "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
         "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

@@ -379,15 +379,31 @@ def collapse_duplicate_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def _md5_hash64(t: Column) -> Column:
+    """64-bit token hash from the first 16 hex chars of md5, big-endian —
+    reproducible OUTSIDE Spark (any engine with md5 + hex parsing), unlike
+    xxhash64.  Two 32-bit conv() halves avoid signed-overflow concerns;
+    shiftleft wraps two's-complement so bit 63 lands correctly."""
+    h = F.md5(t)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash(col: Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over word tokens: per bit, the sign of the sum of
     token-hash bits. Built-ins only, ONE traversal of the token array:
     the aggregate's accumulator is a ``bits``-wide counter array updated
     with ``zip_with`` (round-2 verdict: the per-bit-aggregate form cost 64
     full array passes and a very large expression tree; signatures are
-    bit-identical between the two forms)."""
+    bit-identical between the two forms).
+
+    ``hash_fn``: ``'xxhash64'`` (default — fastest, JVM codegen) or
+    ``'md5'`` (first 16 md5 hex chars as a big-endian int64 — slower but
+    reproducible by any engine with md5, enabling cross-engine oracles)."""
     toks = F.array_distinct(tokens(normalize_text(col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    token_hash = F.xxhash64 if hash_fn == "xxhash64" else _md5_hash64
+    hashes = F.transform(toks, lambda t: token_hash(t))
     # 2^i bit masks as a literal array (bit 63 = long min — shiftleft(1L,63)
     # and this literal are the same two's-complement value); bit i of h is
     # tested as (h & 2^i) != 0, identical to (h >>> i) & 1 == 1
@@ -417,6 +433,7 @@ def simhash(col: Column, bits: int = 64) -> Column:
 def simhash_near_duplicates(
     documents: DataFrame, text_col: str = "text", max_hamming: int = 3,
     chunks: int = 4, max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -429,16 +446,18 @@ def simhash_near_duplicates(
     """
     reps, members = _collapse_exact(documents, text_col)
     rep_pairs = _simhash_rep_pairs(reps, text_col, max_hamming, chunks,
-                                   max_bucket_size)
+                                   max_bucket_size, hash_fn)
     out = _expand_pairs(rep_pairs, reps, members, "hamming", 0)
     return out.filter(F.col("hamming") <= max_hamming)
 
 
 def _simhash_rep_pairs(
     documents: DataFrame, text_col: str, max_hamming: int, chunks: int,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    sh = documents.select(F.col("doc_id"), simhash(F.col(text_col)).alias("sig"))
+    sh = documents.select(
+        F.col("doc_id"),
+        simhash(F.col(text_col), hash_fn=hash_fn).alias("sig"))
     width = 64 // chunks
     chunked = sh.select(
         "doc_id", "sig",

@@ -71,6 +71,35 @@ def test_simhash_near_duplicates(spark, docs):
     assert all("d4" not in p[0] + p[1] for p in pairs)
 
 
+def test_simhash_md5_hash_fn_same_exact_dups(spark, docs):
+    """The cross-engine md5 token hash (first 16 md5 hex chars, big-endian
+    int64) must preserve the semantics the xxhash64 default pins: exact
+    dups at hamming 0, unrelated docs absent.  Near-dup pair sets may
+    differ between hash functions (different random projections)."""
+    out = dedup.simhash_near_duplicates(docs, max_hamming=3,
+                                        hash_fn="md5").toPandas()
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in out.itertuples(index=False)}
+    assert pairs[("d0", "d1")] == 0 and pairs[("d0", "d2")] == 0
+    assert all("d4" not in a + b for a, b in pairs)
+
+
+def test_md5_hash64_matches_reference_bits(spark):
+    """Pin the md5→int64 construction (hex chars 1-16, big-endian, two's
+    complement) against Python's hashlib so the DuckDB oracle's nibble
+    arithmetic and the Spark expression can never drift apart silently."""
+    import hashlib
+    toks = ["hello", "", "Zebra9", "a b"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {r.t: r.h for r in df.select(
+        "t", dedup._md5_hash64(F.col("t")).alias("h")).collect()}
+    for t in toks:
+        v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        assert got[t] == v, t
+
+
 def test_vocabulary_and_length_histogram(spark, docs):
     vocab = textops.vocabulary_stats(docs, top_k=5).toPandas()
     top = vocab.iloc[0]
