@@ -1350,22 +1350,139 @@ ORDER BY doc_a, doc_b
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (rows-only: approximate by design; recall
-    vs the exact similarity_topk is pinned in tests/test_textops.py)."""
+    """SRP-LSH approximate top-k, ORACLE-CHECKED: the answer is
+    *approximate vs brute force* but fully DETERMINISTIC given the seeded
+    hyperplanes, so DuckDB replays the whole pipeline — the same plane
+    matrix as SQL literals (exact float round-trip via repr), sign-bucket
+    assignment, Hamming-1 multi-probe expansion, candidate join, exact
+    cosine rerank — and pins bucket bits, candidate sets, and ranking
+    exactly.  Recall vs the exact similarity_topk is separately pinned in
+    tests/test_textops.py."""
     from homonim_spark.operators.similarity import lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, q, dim=64, k=5).orderBy("query_id", "rank")
 
 
+def _srp_planes_values(dim: int = 64, n_planes: int = 8,
+                       seed: int = 42) -> str:
+    """The seeded SRP hyperplanes as a SQL VALUES list — float64 repr
+    round-trips exactly, so DuckDB's plane matrix is bit-identical to the
+    one srp_buckets broadcasts to executors."""
+    from homonim_spark.operators.similarity import make_planes
+    return ",\n    ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in p))
+        for i, p in enumerate(make_planes(dim, n_planes, seed)))
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH planes(pid, p) AS (
+  VALUES {_srp_planes_values()}
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(v, p) > 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id
+), qprobes AS (
+  SELECT vec_id AS query_id,
+         UNNEST(list_prepend(bucket,
+           list_transform(range(0, 8),
+                          i -> xor(bucket, CAST(1 << i AS BIGINT))))) AS bucket
+  FROM buckets WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM qprobes p JOIN buckets c ON c.bucket = p.bucket
+  WHERE c.vec_id != p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (SQRT(list_dot_product(q.v, q.v))
+              * SQRT(list_dot_product(n.v, n.v))) AS cosine
+  FROM cand
+  JOIN vecs q ON q.vec_id = cand.query_id
+  JOIN vecs n ON n.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only): hash-filter centroid training +
-    nprobe inverted-list search — the 100 TB ANN scale path."""
-    from homonim_spark.operators.similarity import ivf_topk, train_ivf_centroids
+    """IVF approximate top-k, ORACLE-CHECKED: the gate runs the full
+    distributed search path — Arrow-batched GEMM centroid assignment,
+    nprobe=2 probe ordering (ties → higher list id), inverted-list join,
+    exact cosine rerank — against FIXED seeded centroids, which DuckDB
+    holds as SQL literals (normalized with the engine's exact numpy
+    formula, float repr round-trip) and replays relationally.  The
+    data-derived k-means trainer (train_ivf_centroids: hash-filter
+    sample + driver Lloyd iterations) is numpy-internal and pinned by the
+    recall test in tests/test_textops.py instead."""
+    import numpy as np
+    from homonim_spark.operators.similarity import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
-    C = train_ivf_centroids(emb, n_centroids=8, iters=3)
+    C = np.random.default_rng(7).standard_normal((8, 64))
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, q, C, k=5, nprobe=2).orderBy("query_id", "rank")
+
+
+def _ivf_centroid_values(n: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """The gate's fixed centroids, normalized EXACTLY as ivf_topk does
+    internally (float64, np.maximum(norm, 1e-12)) so the SQL literals are
+    bit-identical to the matrix the executors receive."""
+    import numpy as np
+    C = np.asarray(np.random.default_rng(seed).standard_normal((n, dim)),
+                   dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return ",\n    ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(C))
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH cents(cid, c) AS (
+  VALUES {_ivf_centroid_values()}
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), lists AS (
+  SELECT vec_id AS neighbor_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v, c) DESC, cid ASC) AS rn
+    FROM vecs CROSS JOIN cents) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v, c) DESC, cid DESC) AS rn
+    FROM vecs CROSS JOIN cents WHERE vec_id < 5) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT q.query_id, l.neighbor_id
+  FROM qprobe q JOIN lists l USING (list_id)
+  WHERE l.neighbor_id != q.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (SQRT(list_dot_product(q.v, q.v))
+              * SQRT(list_dot_product(n.v, n.v))) AS cosine
+  FROM cand
+  JOIN vecs q ON q.vec_id = cand.query_id
+  JOIN vecs n ON n.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,6 +2247,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
+        "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+        "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
         "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
