@@ -1231,6 +1231,62 @@ FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY fingerprint
 """
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time window aggregation through the REAL
+    Structured Streaming engine, ORACLE-CHECKED: the events table streams
+    in (availableNow), tumbling 1-minute windows aggregate count/avg per
+    event_type under a 2-minute watermark, and append mode emits exactly
+    the windows FINALIZED by the terminal watermark (max event time − 2
+    min; the trailing windows stay in state — that retention IS the
+    late-data semantics).  DuckDB reproduces the answer relationally:
+    date_trunc windows + the same terminal-watermark cutoff.  Window
+    bounds go out as epoch seconds so the value hash is timezone- and
+    resolution-independent."""
+    import os
+    import tempfile
+    import uuid
+    from homonim_spark.streaming import windowed_event_stats
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="homonim-evt-src-")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
+              # parquet TIMESTAMP_NTZ → TIMESTAMP: watermarks require an
+              # instant; the session tz is pinned UTC so the cast is exact
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = windowed_event_stats(stream, window="1 minute",
+                               watermark="2 minutes")
+    name = f"evt_window_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="homonim-evt-ck-")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.unix_timestamp("win_start").alias("win_start"),
+                    F.unix_timestamp("win_end").alias("win_end"),
+                    "event_type", F.col("n").cast("long").alias("n"),
+                    F.round("avg_value", 6).alias("avg_value"))
+            .orderBy("win_start", "event_type"))
+
+
+ORACLE_STREAMING_WINDOW = r"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 2 MINUTE AS w FROM events
+)
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS win_start,
+       CAST(epoch(date_trunc('minute', ts) + INTERVAL 1 MINUTE) AS BIGINT)
+         AS win_end,
+       event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events, wm
+GROUP BY 1, 2, 3
+HAVING win_end <= (SELECT CAST(epoch(w) AS BIGINT) FROM wm)
+ORDER BY win_start, event_type
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join, threshold 0.5)."""
     from homonim_spark.operators.dedup import jaccard_pairs
@@ -2189,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_window": q_streaming_window,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -2244,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": ORACLE_LENGTH_HISTOGRAM,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
+        "streaming_window": ORACLE_STREAMING_WINDOW,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
