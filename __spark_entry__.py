@@ -1287,6 +1287,45 @@ ORDER BY win_start, event_type
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ORACLE-CHECKED against DuckDB's native ASOF JOIN: each
+    purchase event matched to the same user's most recent click at-or-
+    before it (left outer; unmatched → -1 sentinels so the value hash is
+    null-representation-independent).  The engine has no ASOF primitive —
+    operators.timeseries.asof_join uses the union-sort-fill pattern (ONE
+    hash exchange + per-partition sort + ignore-nulls running last), not
+    a range join, so candidate volume never explodes at scale."""
+    from homonim_spark.operators.timeseries import asof_join
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    out = asof_join(p, c, on="ts", by=["user_id"])
+    return (out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.coalesce("event_id_right", F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.unix_micros("ts") - F.unix_micros("ts_right"),
+                   F.lit(-1)).alias("gap_us"))
+        .orderBy("event_id"))
+
+
+ORACLE_ASOF_JOIN = r"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       COALESCE(c.click_event_id, -1) AS click_event_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(c.click_ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY event_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join, threshold 0.5)."""
     from homonim_spark.operators.dedup import jaccard_pairs
@@ -2246,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
+        "asof_join": q_asof_join,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -2302,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
+        "asof_join": ORACLE_ASOF_JOIN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -1,0 +1,76 @@
+"""asof_join: semantics vs a hand-computed oracle + plan shape.
+
+The reference family's pipelines join event streams to slowly-changing
+state; Spark lacks an ASOF primitive, so operators/timeseries.py builds
+it from union + one window.  These tests pin the match rule (greatest
+right ts ≤ left ts per key, equal ts matches, left outer), direction,
+tolerance, suffixing, and that the plan carries exactly ONE exchange.
+"""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from homonim_spark.operators.timeseries import asof_join
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(5)), (2, "u1", _ts(10)), (3, "u2", _ts(7)),
+         (4, "u3", _ts(1))],
+        "lid int, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "u1", _ts(5)), (11, "u1", _ts(9)), (12, "u1", _ts(11)),
+         (13, "u2", _ts(2))],
+        "rid int, user string, ts timestamp")
+    return left, right
+
+
+def test_backward_matches_latest_at_or_before(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="ts", by=["user"]).toPandas()
+    got = {r.lid: r.rid for r in out.itertuples(index=False)}
+    assert got[1] == 10          # equal ts matches
+    assert got[2] == 11          # 9 < 10, not 11 (future)
+    assert got[3] == 13
+    assert got[4] != got[4]      # u3 has no right rows -> NaN (left outer)
+    assert len(out) == 4
+
+
+def test_forward_matches_earliest_at_or_after(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="ts", by=["user"],
+                    direction="forward").toPandas()
+    got = {r.lid: r.rid for r in out.itertuples(index=False)}
+    assert got[1] == 10          # equal ts matches forward too
+    assert got[2] == 12          # next at 11
+    assert got[3] != got[3]      # u2 has nothing at/after minute 7
+
+
+def test_tolerance_drops_stale_matches(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="ts", by=["user"],
+                    tolerance_seconds=120).toPandas()
+    got = {r.lid: r.rid for r in out.itertuples(index=False)}
+    assert got[1] == 10 and got[2] == 11
+    assert got[3] != got[3]      # u2's only prior click is 5 min stale
+
+
+def test_collision_suffix_and_column_set(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="ts", by=["user"])
+    assert out.columns == ["lid", "user", "ts", "rid", "user_right",
+                           "ts_right"]
+
+
+def test_single_exchange_plan(spark, sides):
+    left, right = sides
+    plan = asof_join(left, right, on="ts",
+                     by=["user"])._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
