@@ -1326,6 +1326,41 @@ ORDER BY event_id
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join, ORACLE-CHECKED against a plain BETWEEN
+    join: events land in quadratic-width value bands (plus one wide
+    overlapping band, so multi-match rows are exercised).  Catalyst plans
+    the raw inequality join as BroadcastNestedLoopJoin — O(|L|·|R|)
+    compares; operators.timeseries.range_join explodes intervals into
+    fixed-width buckets and equi-joins on the bucket, shuffling hash-
+    partitioned candidates only.  Band bounds are i²·0.83 computed as
+    float64 in BOTH engines (identical IEEE ops → identical boundary
+    comparisons)."""
+    from homonim_spark.operators.timeseries import range_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    rows = [(i, i * i * 0.83, (i + 1) * (i + 1) * 0.83) for i in range(12)]
+    rows.append((100, 10 * 0.83, 60 * 0.83))
+    bands = spark.createDataFrame(rows, "band_id long, lo double, hi double")
+    out = range_join(ev, bands, "value", "lo", "hi", bucket_width=8.0)
+    return (out.select("event_id", "band_id", "value")
+            .orderBy("event_id", "band_id"))
+
+
+ORACLE_RANGE_JOIN = r"""
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         i * i * CAST(0.83 AS DOUBLE) AS lo,
+         (i+1) * (i+1) * CAST(0.83 AS DOUBLE) AS hi
+  FROM range(0, 12) t(i)
+  UNION ALL
+  SELECT 100, 10 * CAST(0.83 AS DOUBLE), 60 * CAST(0.83 AS DOUBLE)
+)
+SELECT e.event_id, b.band_id, e.value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+ORDER BY event_id, band_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted-index join, threshold 0.5)."""
     from homonim_spark.operators.dedup import jaccard_pairs
@@ -2286,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -2343,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "asof_join": ORACLE_ASOF_JOIN,
+        "range_join": ORACLE_RANGE_JOIN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_neardup": ORACLE_MINHASH_NEARDUP,
         "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -86,3 +86,53 @@ def asof_join(
         name = c + suffix if c in taken or c in by else c
         cols.append(F.col("_m")[c].alias(name))
     return out.select(*cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    by: list[str] | tuple[str, ...] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner join of points to half-open intervals ``[lo, hi)`` without a
+    cross-product: intervals explode into the fixed-width buckets they
+    cover, points compute their single bucket, and a plain equi-join on
+    (``by``…, bucket) + the exact containment filter does the rest.
+
+    Catalyst plans a raw ``l.v >= r.lo AND l.v < r.hi`` predicate as
+    BroadcastNestedLoopJoin — O(|L|·|R|) compares even when each point
+    falls in few intervals.  Bucketizing makes the candidate volume
+    O(|L| + Σ interval_width/bucket_width) and the join a hash join that
+    shuffles only on (key, bucket) — the standard interval-join strategy
+    (Flink/KDB): pick ``bucket_width`` near the median interval width so
+    most intervals explode into O(1) buckets.
+    """
+    bw = float(bucket_width)
+    l_bkt = F.floor(F.col(left_val) / bw)
+    # half-open [lo, hi): the hi boundary's bucket is needed only when the
+    # interval extends into it (hi not on a bucket edge handled by the
+    # sequence bound below; exact filter removes any overshoot)
+    r_lo_b = F.floor(F.col(right_lo) / bw)
+    r_hi_b = F.floor(F.col(right_hi) / bw)
+    exploded = right.withColumn(
+        "_bkt", F.explode(F.sequence(r_lo_b.cast("long"),
+                                     r_hi_b.cast("long"))))
+    # rename colliding right columns BEFORE the join so the containment
+    # filter and output projection are never ambiguous
+    taken = set(left.columns)
+    renames = {c: (c + suffix if c in taken else c)
+               for c in right.columns if c not in by}
+    for old, new in renames.items():
+        if new != old:
+            exploded = exploded.withColumnRenamed(old, new)
+    keys = list(by) + ["_bkt"]
+    tagged = left.withColumn("_bkt", l_bkt.cast("long"))
+    joined = tagged.join(exploded, on=keys, how="inner").filter(
+        (F.col(left_val) >= F.col(renames[right_lo]))
+        & (F.col(left_val) < F.col(renames[right_hi])))
+    return joined.select(*[F.col(c) for c in left.columns],
+                         *[F.col(n) for n in renames.values()])

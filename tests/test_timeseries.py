@@ -11,7 +11,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from homonim_spark.operators.timeseries import asof_join
+from homonim_spark.operators.timeseries import asof_join, range_join
 
 
 def _ts(m, s=0):
@@ -74,3 +74,34 @@ def test_single_exchange_plan(spark, sides):
                      by=["user"])._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+@pytest.fixture()
+def intervals(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 3.5), (3, 10.0), (4, 9.999), (5, 25.0), (6, -1.0)],
+        "pid int, v double")
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 10.0, 20.0), (12, 5.0, 15.0)],
+        "iid int, lo double, hi double")
+    return pts, ivs
+
+
+def test_range_join_half_open_and_overlap(spark, intervals):
+    pts, ivs = intervals
+    out = range_join(pts, ivs, "v", "lo", "hi", bucket_width=4.0).toPandas()
+    got = {(r.pid, r.iid) for r in out.itertuples(index=False)}
+    assert got == {
+        (1, 10),             # lo inclusive
+        (2, 10),
+        (3, 11), (3, 12),    # hi exclusive for 10, overlap 11+12
+        (4, 10), (4, 12),    # just under the boundary
+    }                        # 5 outside all bands, 6 negative -> no match
+
+
+def test_range_join_is_a_hash_join_not_nested_loop(spark, intervals):
+    pts, ivs = intervals
+    plan = range_join(pts, ivs, "v", "lo", "hi", bucket_width=4.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
