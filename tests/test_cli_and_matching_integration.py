@@ -72,10 +72,12 @@ def test_cli_fuse_compare_stats(tmp_path):
     tiles_pdf.to_parquet(tdir)
     out = str(tmp_path / "out")
 
+    tif_dir = str(tmp_path / "tifs")
     r = subprocess.run(
         [sys.executable, "-m", "homonim_spark.cli", "fuse", "--documents", ddir,
          "--tiles", tdir, "--out", out, "--model", "gain-blk-offset",
-         "--kernel", "5", "5", "--master", "local[2]"],
+         "--kernel", "5", "5", "--master", "local[2]",
+         "--export-gtiff", tif_dir, "--export-epsg", "32734"],
         capture_output=True, text=True, timeout=300, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     last = json.loads(r.stdout.strip().splitlines()[-1])
@@ -83,6 +85,13 @@ def test_cli_fuse_compare_stats(tmp_path):
     manifest = json.load(open(f"{out}/MANIFEST.json"))
     assert manifest["FUSE_MODEL"] == "gain-blk-offset"
     assert manifest["FUSE_KERNEL_SHAPE"] == [5, 5]
+    # --export-gtiff wrote ONE decodable corrected GTiff for the image
+    import glob
+    from homonim_spark.tiffio import read_gtiff
+    tifs = glob.glob(f"{tif_dir}/*_FUSE.tif")
+    assert len(tifs) == 1, tifs
+    g = read_gtiff(tifs[0])
+    assert g.crs == "EPSG:32734" and g.data.shape == (1, 64, 64)
 
     r2 = subprocess.run(
         [sys.executable, "-m", "homonim_spark.cli", "stats", "--params",
