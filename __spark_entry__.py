@@ -1287,6 +1287,87 @@ ORDER BY win_start, event_type
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState session
+    windows), ORACLE-CHECKED: with the whole events table in ONE
+    availableNow trigger, stateful_sessionize emits exactly the CLOSED
+    sessions — every gap > 30 min splits — while each user's final
+    session stays in state awaiting its processing-time timeout.  That
+    retention is the operator's correctness property, and it makes the
+    answer relational: DuckDB sessionizes with lag/sum windows and drops
+    each user's last session.  Timestamps compare as epoch micros;
+    per-session value sums round to 6dp (python accumulates in event
+    order, SQL SUM in scan order)."""
+    import os
+    import tempfile
+    import uuid
+    from homonim_spark.streaming import stateful_sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="homonim-sess-src-")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = stateful_sessionize(stream, gap_seconds=1800)
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="homonim-sess-ck-")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    # a stateful stream with pending processing-time timeouts keeps
+    # running no-data batches, so availableNow never self-terminates:
+    # wait until batch 0 (all data, hence every gap-closed session) has
+    # COMMITTED — visible as a later batchId in progress — then stop.
+    # The 1 h default state timeout guarantees no timeout emission can
+    # race the stop, so the answer is exactly the closed sessions.
+    import time
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if q.awaitTermination(3):
+            break
+        p = q.lastProgress
+        if p is not None and p.get("batchId", -1) >= 1:
+            break
+    q.stop()
+    q.awaitTermination(60)
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_micros("sess_start").alias("start_us"),
+                    F.unix_micros("sess_end").alias("end_us"),
+                    "n_events",
+                    F.round("sess_value", 6).alias("sess_value"))
+            .orderBy("user_id", "start_us"))
+
+
+ORACLE_STREAMING_SESSIONIZE = r"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), agg AS (
+  SELECT user_id, sid,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us,
+         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sess_value,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events, sess_value
+FROM agg WHERE sid < last_sid
+ORDER BY user_id, start_us
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, ORACLE-CHECKED against DuckDB's native ASOF JOIN: each
     purchase event matched to the same user's most recent click at-or-
@@ -2320,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
+        "streaming_sessionize": q_streaming_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2378,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
+        "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
         "asof_join": ORACLE_ASOF_JOIN,
         "range_join": ORACLE_RANGE_JOIN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
