@@ -1287,6 +1287,42 @@ ORDER BY win_start, event_type
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split assignment, ORACLE-CHECKED: docs are
+    bucketed by md5(doc_id∥salt) (first 8 hex chars mod 1000 — stable
+    across runs, partitionings, and ENGINES, unlike rand(seed) or
+    xxhash64), 70% train / 20% val / 10% unassigned.  DuckDB re-derives
+    every membership with the same one-line hash, pinning per-split
+    counts, id ranges, and total text length exactly — the auditability
+    property a training pipeline's holdout split actually needs."""
+    from homonim_spark.operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.7, "val": 0.2},
+                     salt="r4")
+    return (out.groupBy(F.coalesce("split", F.lit("none")).alias("split"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("split"))
+
+
+ORACLE_HASH_SPLIT = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r4'), 1, 8)
+              AS BIGINT) % 1000 AS bkt
+  FROM documents
+)
+SELECT CASE WHEN bkt < 700 THEN 'train'
+            WHEN bkt < 900 THEN 'val'
+            ELSE 'none' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState session
     windows), ORACLE-CHECKED: with the whole events table in ONE
@@ -2402,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
+        "hash_split": q_hash_split,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2461,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
+        "hash_split": ORACLE_HASH_SPLIT,
         "asof_join": ORACLE_ASOF_JOIN,
         "range_join": ORACLE_RANGE_JOIN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -105,3 +105,32 @@ def test_range_join_is_a_hash_join_not_nested_loop(spark, intervals):
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_hash_split_partition_invariant_and_exhaustive(spark):
+    """Split membership must depend only on the key, never on
+    partitioning; bands must be disjoint-exhaustive over the granularity
+    with the remainder NULL."""
+    from homonim_spark.operators.sampling import hash_split
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = hash_split(df.repartition(1), "k", {"train": 0.7, "val": 0.2},
+                   salt="s").toPandas().set_index("k")["split"]
+    b = hash_split(df.repartition(13), "k", {"train": 0.7, "val": 0.2},
+                   salt="s").toPandas().set_index("k")["split"]
+    assert a.sort_index().equals(b.sort_index())
+    counts = a.value_counts(dropna=False)
+    # ~70/20/10 at 2000 keys (md5 uniformity; wide tolerance, no flake)
+    assert 0.6 < counts["train"] / 2000 < 0.8
+    assert 0.12 < counts["val"] / 2000 < 0.28
+    assert a.isna().sum() > 0                 # remainder excluded as NULL
+    # a different salt reassigns (independence across holdout versions)
+    c = hash_split(df, "k", {"train": 0.7, "val": 0.2},
+                   salt="other").toPandas().set_index("k")["split"]
+    assert not a.sort_index().equals(c.sort_index())
+
+
+def test_hash_split_rejects_overfull_fractions(spark):
+    from homonim_spark.operators.sampling import hash_split
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.8, "b": 0.3})
