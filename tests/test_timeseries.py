@@ -8,6 +8,7 @@ tolerance, suffixing, and that the plan carries exactly ONE exchange.
 """
 import datetime as dt
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -134,3 +135,56 @@ def test_hash_split_rejects_overfull_fractions(spark):
     df = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         hash_split(df, "k", {"a": 0.8, "b": 0.3})
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    # unique (key, ts) on each side — pandas merge_asof breaks right-side
+    # same-ts ties by position, our operator by payload max; keep the
+    # property comparable by never generating that tie
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=4,
+                         unique=True))
+    def side(tag):
+        rows = []
+        for k in keys:
+            tss = draw(st.lists(st.integers(0, 50), min_size=0, max_size=6,
+                                unique=True))
+            rows += [(k, t, f"{tag}{k}_{t}") for t in tss]
+        return rows
+    return side("l"), side("r"), draw(st.sampled_from(
+        ["backward", "forward"])), draw(st.one_of(
+            st.none(), st.integers(1, 20)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """Property: asof_join == pandas.merge_asof on randomized inputs
+    (both directions, with and without tolerance) — an oracle fully
+    independent of the DuckDB gate check."""
+    lrows, rrows, direction, tol = case
+    if not lrows:
+        return
+    left = spark.createDataFrame(lrows, "k int, ts int, lpay string")
+    right = spark.createDataFrame(rrows or [(99, 0, "sentinel")],
+                                  "k int, ts int, rpay string")
+    got = (asof_join(left, right, on="ts", by=["k"], direction=direction,
+                     tolerance_seconds=tol)
+           .toPandas().sort_values(["k", "ts"]).reset_index(drop=True))
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lpay"]).sort_values("ts")
+    rp = pd.DataFrame(rrows or [(99, 0, "sentinel")],
+                      columns=["k", "ts", "rpay"]).sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        suffixes=("", "_right"),
+        tolerance=None if tol is None else tol,
+        allow_exact_matches=True).sort_values(["k", "ts"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["rpay"].fillna("-").tolist() == \
+        want["rpay"].fillna("-").tolist()
