@@ -1187,6 +1187,58 @@ FROM documents GROUP BY 1 ORDER BY fingerprint
 """
 
 
+def _stream_source(spark: SparkSession, sf_dir: str, table: str,
+                   cast_ts: bool = False):
+    """File-stream a driver parquet table in ONE availableNow trigger:
+    the source wants a directory, the driver table is a single file —
+    expose it through a temp dir of symlinks.  ``cast_ts``: parquet
+    TIMESTAMP_NTZ → TIMESTAMP (watermarks need an instant; the session
+    tz is pinned UTC in get_spark, so the cast is exact)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix=f"homonim-stream-{table}-")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 100000).parquet(src_dir))
+    if cast_ts:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _run_to_memory(out: DataFrame, stop_after_batch0: bool = False):
+    """Run a streaming DataFrame to a memory sink with availableNow +
+    checkpoint; returns the committed result as a batch DataFrame.
+    ``stop_after_batch0``: for stateful queries with pending
+    processing-time timeouts — those never self-terminate (no-data
+    micro-batches run forever), so stop once the data batch committed."""
+    import tempfile
+    import time
+    import uuid
+
+    name = f"gate_stream_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="homonim-stream-ck-")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    if stop_after_batch0:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if q.awaitTermination(3):
+                break
+            p = q.lastProgress
+            if p is not None and p.get("batchId", -1) >= 1:
+                break
+        q.stop()
+        q.awaitTermination(60)
+    else:
+        q.awaitTermination()
+    spark = out.sparkSession
+    return spark.table(name)
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming exact dedup through the driver gate,
     ORACLE-CHECKED: the documents table streams through
@@ -1196,30 +1248,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical is min(doc_id), which DuckDB reproduces relationally.  Pins
     the stateful-streaming path (state store, Arrow state codec, append
     mode) to the same answer as the batch operator."""
-    import os
-    import tempfile
-    import uuid
     from homonim_spark.streaming import streaming_dedup_exact
 
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    # the file stream source wants a directory; the driver table is a single
-    # parquet file — expose it through a temp dir of symlinks
-    src_dir = tempfile.mkdtemp(prefix="homonim-stream-src-")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
+    stream = (_stream_source(spark, sf_dir, "documents")
               # the stateful operator keys string doc ids; canonical is then
               # the LEXICOGRAPHIC min — the oracle casts to VARCHAR to match
               .withColumn("doc_id", F.col("doc_id").cast("string")))
-    out = streaming_dedup_exact(stream)
-    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="homonim-stream-ck-")
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(name).option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return (spark.table(name)
+    return (_run_to_memory(streaming_dedup_exact(stream))
             .select("fingerprint", F.col("doc_id").alias("canonical_doc_id"))
             .orderBy("fingerprint"))
 
@@ -1242,29 +1277,12 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_trunc windows + the same terminal-watermark cutoff.  Window
     bounds go out as epoch seconds so the value hash is timezone- and
     resolution-independent."""
-    import os
-    import tempfile
-    import uuid
     from homonim_spark.streaming import windowed_event_stats
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src_dir = tempfile.mkdtemp(prefix="homonim-evt-src-")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
-              # parquet TIMESTAMP_NTZ → TIMESTAMP: watermarks require an
-              # instant; the session tz is pinned UTC so the cast is exact
-              .withColumn("ts", F.col("ts").cast("timestamp")))
+    stream = _stream_source(spark, sf_dir, "events", cast_ts=True)
     out = windowed_event_stats(stream, window="1 minute",
                                watermark="2 minutes")
-    name = f"evt_window_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="homonim-evt-ck-")
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(name).option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return (spark.table(name)
+    return (_run_to_memory(out)
             .select(F.unix_timestamp("win_start").alias("win_start"),
                     F.unix_timestamp("win_end").alias("win_end"),
                     "event_type", F.col("n").cast("long").alias("n"),
@@ -1282,7 +1300,10 @@ SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS win_start,
        event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
 FROM events, wm
 GROUP BY 1, 2, 3
-HAVING win_end <= (SELECT CAST(epoch(w) AS BIGINT) FROM wm)
+-- compare against the FRACTIONAL watermark (no CAST: DuckDB's
+-- BIGINT cast rounds half-up, which would admit a window Spark still
+-- retains whenever max(ts) has fraction >= .5 in its cutoff second)
+HAVING win_end <= (SELECT epoch(w) FROM wm)
 ORDER BY win_start, event_type
 """
 
@@ -1334,41 +1355,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's last session.  Timestamps compare as epoch micros;
     per-session value sums round to 6dp (python accumulates in event
     order, SQL SUM in scan order)."""
-    import os
-    import tempfile
-    import uuid
     from homonim_spark.streaming import stateful_sessionize
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src_dir = tempfile.mkdtemp(prefix="homonim-sess-src-")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "part-0.parquet"))
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 100000).parquet(src_dir)
-              .withColumn("ts", F.col("ts").cast("timestamp")))
+    stream = _stream_source(spark, sf_dir, "events", cast_ts=True)
     out = stateful_sessionize(stream, gap_seconds=1800)
-    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="homonim-sess-ck-")
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(name).option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    # a stateful stream with pending processing-time timeouts keeps
-    # running no-data batches, so availableNow never self-terminates:
-    # wait until batch 0 (all data, hence every gap-closed session) has
-    # COMMITTED — visible as a later batchId in progress — then stop.
-    # The 1 h default state timeout guarantees no timeout emission can
-    # race the stop, so the answer is exactly the closed sessions.
-    import time
-    deadline = time.time() + 240
-    while time.time() < deadline:
-        if q.awaitTermination(3):
-            break
-        p = q.lastProgress
-        if p is not None and p.get("batchId", -1) >= 1:
-            break
-    q.stop()
-    q.awaitTermination(60)
-    return (spark.table(name)
+    # stop_after_batch0: batch 0 holds all data, hence every gap-closed
+    # session; the 1 h default state timeout guarantees no timeout
+    # emission can race the stop, so the answer is exactly the closed
+    # sessions (the never-self-terminating stream is stopped for us)
+    return (_run_to_memory(out, stop_after_batch0=True)
             .select("user_id",
                     F.unix_micros("sess_start").alias("start_us"),
                     F.unix_micros("sess_end").alias("end_us"),
@@ -1671,25 +1666,29 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-derived k-means trainer (train_ivf_centroids: hash-filter
     sample + driver Lloyd iterations) is numpy-internal and pinned by the
     recall test in tests/test_textops.py instead."""
-    import numpy as np
     from homonim_spark.operators.similarity import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
-    C = np.random.default_rng(7).standard_normal((8, 64))
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, C, k=5, nprobe=2).orderBy("query_id", "rank")
+    return ivf_topk(emb, q, _gate_centroids(), k=5,
+                    nprobe=2).orderBy("query_id", "rank")
 
 
-def _ivf_centroid_values(n: int = 8, dim: int = 64, seed: int = 7) -> str:
-    """The gate's fixed centroids, normalized EXACTLY as ivf_topk does
-    internally (float64, np.maximum(norm, 1e-12)) so the SQL literals are
-    bit-identical to the matrix the executors receive."""
+def _gate_centroids():
+    """The gate's fixed seeded centroid matrix — ONE definition shared by
+    the Spark query and the oracle builder below."""
     import numpy as np
-    C = np.asarray(np.random.default_rng(seed).standard_normal((n, dim)),
-                   dtype=np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return np.random.default_rng(7).standard_normal((8, 64))
+
+
+def _ivf_centroid_values() -> str:
+    """The gate centroids as SQL literals, normalized by the SAME
+    similarity.normalize_centroids the executors apply inside ivf_topk —
+    the literals cannot drift from the executor matrix without the gate
+    hash catching it, because there is no second copy of the formula."""
+    from homonim_spark.operators.similarity import normalize_centroids
     return ",\n    ".join(
         "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in c))
-        for i, c in enumerate(C))
+        for i, c in enumerate(normalize_centroids(_gate_centroids())))
 
 
 ORACLE_ANN_IVF_TOPK = f"""

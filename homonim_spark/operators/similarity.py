@@ -296,6 +296,14 @@ def train_ivf_centroids(
     return C
 
 
+def normalize_centroids(centroids: np.ndarray) -> np.ndarray:
+    """The exact float64 unit-normalization ivf_topk applies to its
+    centroid matrix — public so oracle builders embed literally the same
+    values the executors receive (single source, no formula drift)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,8 +326,7 @@ def ivf_topk(
     """
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C = normalize_centroids(centroids)
 
     id_t = corpus.schema[id_col].dataType.simpleString()
     vec_t = corpus.schema[vec_col].dataType.simpleString()

@@ -116,7 +116,7 @@ def write_corrected(
 def export_corrected_gtiff(
     fused: DataFrame, out_dir: str, dtype: str = "float32",
     nodata: Optional[float] = None, scale_h: int = 1,
-    res: int = 10, tile: Optional[tuple] = None,
+    res: Optional[int] = None, tile: Optional[tuple] = (256, 256),
     compress: bool = True, epsg: Optional[int] = None,
 ) -> DataFrame:
     """S8 file-format parity: write ONE corrected GeoTIFF per image — the
@@ -137,10 +137,14 @@ def export_corrected_gtiff(
     from homonim_spark import grid as _grid
 
     conv = convert_tiles(fused, "corr", dtype, nodata, scale_h)
-    cell_sz = _grid.cell_size(res)
 
     def write_image(pdf: pd.DataFrame) -> pd.DataFrame:
         image_id = pdf["image_id"].iloc[0]
+        # grid resolution is encoded in every cell id — deriving it here
+        # (instead of a caller-supplied parameter) makes a silently wrong
+        # geotransform impossible for data at a non-default resolution
+        cell_sz = _grid.cell_size(int(_grid.cell_res(
+            int(pdf["cell_id"].iloc[0]))) if res is None else res)
         t = int(pdf["h"].max())
         rows = _grid.cell_row(pdf["cell_id"].to_numpy())
         cols = _grid.cell_col(pdf["cell_id"].to_numpy())

@@ -53,8 +53,12 @@ def asof_join(
 
     r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
     l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
-    rs = right.select(*by, F.col(on).alias("_t"),
-                      F.lit(r_side).alias("_side"), r_payload)
+    # a NULL right timestamp sorts FIRST ascending and would become the
+    # running match for every left row (pandas merge_asof refuses NaT
+    # keys outright); such rows can match nothing — drop them
+    rs = (right.filter(F.col(on).isNotNull())
+          .select(*by, F.col(on).alias("_t"),
+                  F.lit(r_side).alias("_side"), r_payload))
     ls = left.select(*by, F.col(on).alias("_t"),
                      F.lit(l_side).alias("_side"), l_payload)
     r_type = rs.schema["_r"].dataType

@@ -49,6 +49,10 @@ def get_spark(
         # binary tile payloads make rows heavy; keep file partitions modest
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # event-time semantics (watermarks, NTZ→TIMESTAMP casts,
+        # unix_timestamp/unix_micros) must not depend on the host's zone:
+        # the DuckDB oracles read the same parquet NTZ values as UTC
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

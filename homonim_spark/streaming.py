@@ -147,19 +147,24 @@ def stateful_sessionize(
                              pd.Timestamp(last_us, unit="us"), n, vsum))
             state.remove()
         else:
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
-                for ts, value in zip(pdf["ts"], pdf["value"]):
-                    us = int(pd.Timestamp(ts).value // 1000)
-                    if last_us is not None and us - last_us > gap_seconds * 1_000_000:
-                        rows.append((user_id, pd.Timestamp(start_us, unit="us"),
-                                     pd.Timestamp(last_us, unit="us"), n, vsum))
-                        start_us, n, vsum = us, 0, 0.0
-                    if start_us is None:
-                        start_us = us
-                    last_us = us
-                    n += 1
-                    vsum += float(value)
+            # a group larger than arrow.maxRecordsPerBatch (256 in this
+            # engine) arrives as SEVERAL chunks in arbitrary relative
+            # order — sessionization needs the full group in time order,
+            # so concatenate before ONE sort (bounded by one user's
+            # events per trigger, the same bound the state itself
+            # carries; per-chunk sorting silently merged/split sessions)
+            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and us - last_us > gap_seconds * 1_000_000:
+                    rows.append((user_id, pd.Timestamp(start_us, unit="us"),
+                                 pd.Timestamp(last_us, unit="us"), n, vsum))
+                    start_us, n, vsum = us, 0, 0.0
+                if start_us is None:
+                    start_us = us
+                last_us = us
+                n += 1
+                vsum += float(value)
             state.update((start_us, last_us, n, vsum))
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(rows, columns=["user_id", "sess_start", "sess_end",

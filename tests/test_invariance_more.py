@@ -84,6 +84,43 @@ def test_stateful_sessionize_executes(spark, tmp_path):
     assert closed.iloc[0]["sess_value"] == pytest.approx(5.0)
 
 
+def test_stateful_sessionize_group_larger_than_arrow_batch(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch (256 in this engine)
+    arrives as SEVERAL pandas chunks in arbitrary relative order; the
+    operator must sessionize the whole group in ts order, not per chunk
+    (regression: per-chunk sorting merged/split sessions whenever a
+    later-ts chunk was processed first)."""
+    from homonim_spark.streaming import stateful_sessionize
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # one user, 3 sessions x 220 events (660 rows total, ~3 Arrow chunks),
+    # sessions separated by 2h; events 10s apart inside a session
+    for sess in range(3):
+        t0 = base + pd.Timedelta(hours=3 * sess)
+        rows += [{"ts": t0 + pd.Timedelta(seconds=10 * i),
+                  "user_id": 7, "value": 1.0} for i in range(220)]
+    in_dir = str(tmp_path / "big_sess_in")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(in_dir)
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long, value double")
+              .parquet(in_dir))
+    out = stateful_sessionize(stream, gap_seconds=1800)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("big_sessions")
+         .option("checkpointLocation", str(tmp_path / "big_sck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    res = spark.sql("select * from big_sessions").toPandas()
+    # first two sessions closed by the 2h gaps; third stays in state
+    assert len(res) == 2
+    assert sorted(res["n_events"]) == [220, 220]
+    assert all(res["sess_value"] == 220.0)
+    for _, r in res.iterrows():
+        assert (r["sess_end"] - r["sess_start"]) == pd.Timedelta(
+            seconds=10 * 219)
+
+
 def test_windowed_event_stats_executes(spark, tmp_path):
     """Watermarked sliding-window aggregation actually executes over a file
     stream (availableNow) and produces the right per-window counts."""
