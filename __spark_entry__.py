@@ -672,6 +672,68 @@ FROM px GROUP BY role, band, cr, cc, dim ORDER BY media_ref
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE path ORACLE-CHECKED: every tile is resized to
+    8×8 (ref 8×8 → identity block mean; src 16×16 → 2×2 block mean) and
+    the features of the RESIZED payloads are pinned.  The fixture's src
+    tiles are a kron-2×2 upsample of the ref-grid gradient, so each 2×2
+    block is CONSTANT and the block mean is exact (no float rounding) —
+    DuckDB rebuilds the resized pixels directly from the base gradient
+    and reproduces mean/std/valid-share per payload, pinning
+    decode → block-mean resize → re-encode → feature extract."""
+    from homonim_spark import datagen
+    from homonim_spark.operators.multimodal import media_features, resize_media
+
+    spec = datagen.RasterFixtureSpec(pair_id="mf", cells=(2, 2), tile=8,
+                                     factor=2, bands=2,
+                                     true_gain=2.0, true_offset=-2.0)
+    _, tiles_pdf = datagen.build_pair_tables(spec)
+    tiles = spark.createDataFrame(tiles_pdf, schema=datagen.TILES_SCHEMA)
+    out = media_features(resize_media(tiles, 8, 8))
+    return out.select(
+        "media_ref", "codec", "n_bytes", "width", "height",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 6) + F.lit(0.0)).alias("std"),
+        (F.round("p_valid", 6) + F.lit(0.0)).alias("p_valid"),
+    ).orderBy("media_ref")
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH px AS (
+  SELECT 'ref' AS role, band, r // 8 AS cr, c // 8 AS cc,
+         CAST((band + 1) * (1 + ((r * 10 + c) % 200)) AS DOUBLE) AS v,
+         (r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14) AS valid
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b
+  UNION ALL
+  -- src resized 16->8 by 2x2 block mean: each block is constant (the src
+  -- was a kron-2x2 of the base gradient), so resized pixel (r,c) = the
+  -- base value; a block is valid iff all 4 src pixels were (global src
+  -- rows 2r,2r+1 in [2,29] <=> r in [1,14])
+  SELECT 'src', band, r // 8, c // 8,
+         ((band + 1) * (1 + ((r * 10 + c) % 200)) + 2.0) / 2.0,
+         (r BETWEEN 1 AND 14 AND c BETWEEN 1 AND 14)
+  FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c),
+       (SELECT UNNEST([0, 1]) AS band) b
+)
+SELECT 'tile://mf/' || role || '/' || band || '/' || cr || '/' || cc AS media_ref,
+       'raw-f32' AS codec,
+       CAST(8 * 8 * 4 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       ROUND(SUM(CASE WHEN valid THEN v END)
+             / SUM(CASE WHEN valid THEN 1 ELSE 0 END), 6) + 0.0 AS mean,
+       ROUND(SQRT(GREATEST(
+             SUM(CASE WHEN valid THEN v * v END)
+               / SUM(CASE WHEN valid THEN 1 ELSE 0 END)
+             - POW(SUM(CASE WHEN valid THEN v END)
+                   / SUM(CASE WHEN valid THEN 1 ELSE 0 END), 2), 0)), 6)
+           + 0.0 AS std,
+       ROUND(SUM(CASE WHEN valid THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+           + 0.0 AS p_valid
+FROM px GROUP BY role, band, cr, cc ORDER BY media_ref
+"""
+
+
 def q_fuse_gain_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuse numerics, ORACLE-CHECKED end-to-end (VERDICT r01 next-step #8):
     gain model, 1×1 kernel, ref space — per proc pixel the fitted gain is
@@ -2463,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip_corrected": q_span_roundtrip_corrected,
         "span_text_profile": q_span_text_profile,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "media_features_png": q_media_features_png,
         "media_features_wav": q_media_features_wav,
         "vectorize_params": q_vectorize_params,
@@ -2525,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         "span_text_profile": ORACLE_SPAN_TEXT_PROFILE,
         "media_features": ORACLE_MEDIA_FEATURES,
+        "media_resize": ORACLE_MEDIA_RESIZE,
         "vectorize_params": ORACLE_VECTORIZE_PARAMS,
         "pip_assign": ORACLE_PIP_ASSIGN,
         "knn_cells": ORACLE_KNN_CELLS,
