@@ -160,6 +160,39 @@ def _asof_case(draw):
             st.none(), st.integers(1, 20)))
 
 
+@st.composite
+def _range_case(draw):
+    pts = draw(st.lists(st.tuples(st.integers(0, 30),
+                                  st.floats(-5, 40, allow_nan=False)),
+                        min_size=0, max_size=12))
+    ivs = draw(st.lists(st.tuples(st.integers(100, 130),
+                                  st.floats(-5, 35, allow_nan=False),
+                                  st.floats(0, 10, allow_nan=False)),
+                        min_size=1, max_size=6, unique_by=lambda t: t[0]))
+    return pts, ivs, draw(st.sampled_from([1.0, 3.0, 7.5]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_range_case())
+def test_range_join_matches_brute_force(spark, case):
+    """Property: bucketized range_join == the naive O(L·R) containment
+    check, for arbitrary float points/intervals and bucket widths
+    (including overlapping and empty intervals)."""
+    pts, ivs, bw = case
+    if not pts:
+        return
+    left = spark.createDataFrame(pts, "pid int, v double")
+    right = spark.createDataFrame(
+        [(i, lo, lo + width) for i, lo, width in ivs],
+        "iid int, lo double, hi double")
+    got = {(r.pid, r.iid) for r in
+           range_join(left, right, "v", "lo", "hi", bucket_width=bw)
+           .collect()}
+    want = {(pid, iid) for pid, v in pts for iid, lo, width in ivs
+            if lo <= v < lo + width}
+    assert got == want
+
+
 @settings(max_examples=15, deadline=None)
 @given(_asof_case())
 def test_asof_join_matches_pandas_merge_asof(spark, case):
