@@ -155,6 +155,67 @@ def sinusoidal_to_lonlat(x, y, radius: float = _R_SINU):
     return np.degrees(lam), np.degrees(phi)
 
 
+def _lcc_consts(a, f, lat1, lat2, lat0):
+    """Snyder ellipsoidal LCC-2SP projection constants (n, F, ρ0/a)."""
+    e = np.sqrt(f * (2 - f))
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e * e * s * s)
+
+    def t(phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    F_ = m(p1) / (n * t(p1) ** n)
+    return e, n, F_, F_ * t(p0) ** n, t
+
+
+# Lambert Conformal Conic 2SP national grids with closed-form support:
+# EPSG → (a, f, lat1, lat2, lat0, lon0, false_easting, false_northing).
+# Both use GRS80 (a = WGS84 semi-major; f differs in the 10th digit).
+_GRS80_F = 1.0 / 298.257222101
+_LCC = {
+    2154: (_A, _GRS80_F, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # RGF93 / Lambert-93 (France)
+    3978: (_A, _GRS80_F, 49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    # NAD83 / Canada Atlas Lambert
+}
+
+
+def lonlat_to_lcc(lon, lat, epsg: int):
+    """Ellipsoidal Lambert Conformal Conic 2SP forward (Snyder 15-1..15-10):
+    ρ = a·F·t(φ)ⁿ, x = FE + ρ·sin(n·Δλ), y = FN + ρ0 − ρ·cos(n·Δλ)."""
+    a, f, lat1, lat2, lat0, lon0, fe, fn = _LCC[epsg]
+    e, n, F_, rho0_a, t = _lcc_consts(a, f, lat1, lat2, lat0)
+    lon = np.asarray(lon, np.float64)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rho = a * F_ * t(phi) ** n
+    th = n * np.radians(lon - lon0)
+    return fe + rho * np.sin(th), fn + a * rho0_a - rho * np.cos(th)
+
+
+def lcc_to_lonlat(x, y, epsg: int):
+    """Inverse LCC-2SP: ρ′/θ from (x, y), then φ by the standard fixed-point
+    iteration on t′ (converges to double precision in < 10 rounds)."""
+    a, f, lat1, lat2, lat0, lon0, fe, fn = _LCC[epsg]
+    e, n, F_, rho0_a, _t = _lcc_consts(a, f, lat1, lat2, lat0)
+    dx = np.asarray(x, np.float64) - fe
+    dy = a * rho0_a - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    tp = (rho / (a * F_)) ** (1.0 / n)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(10):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * ((1 - s) / (1 + s)) ** (e / 2))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
 def _parse(crs: str):
     c = crs.upper().replace(" ", "")
     if c in ("EPSG:4326", "WGS84", "CRS:84"):
@@ -167,11 +228,13 @@ def _parse(crs: str):
         return ("utm", int(c[8:]), True)
     if c in ("SINUSOIDAL", "SR-ORG:6974", "ESRI:54008", "MODIS"):
         return ("sinu",)
+    if c.startswith("EPSG:") and c[5:].isdigit() and int(c[5:]) in _LCC:
+        return ("lcc", int(c[5:]))
     raise ValueError(
         f"unsupported CRS {crs!r}: closed-form transforms cover EPSG:4326, "
-        "EPSG:3857, UTM EPSG:326xx/327xx and the MODIS sinusoidal grid "
-        "(anything else needs a pre-warped input, like the reference's "
-        "WarpedVRT)")
+        "EPSG:3857, UTM EPSG:326xx/327xx, the MODIS sinusoidal grid and "
+        f"LCC-2SP grids {sorted(_LCC)} (anything else needs a pre-warped "
+        "input, like the reference's WarpedVRT)")
 
 
 def to_lonlat(crs: str, x, y):
@@ -182,6 +245,8 @@ def to_lonlat(crs: str, x, y):
         return webmercator_to_lonlat(x, y)
     if kind[0] == "sinu":
         return sinusoidal_to_lonlat(x, y)
+    if kind[0] == "lcc":
+        return lcc_to_lonlat(x, y, kind[1])
     return utm_to_lonlat(x, y, kind[1], kind[2])
 
 
@@ -193,6 +258,8 @@ def from_lonlat(crs: str, lon, lat):
         return lonlat_to_webmercator(lon, lat)
     if kind[0] == "sinu":
         return lonlat_to_sinusoidal(lon, lat)
+    if kind[0] == "lcc":
+        return lonlat_to_lcc(lon, lat, kind[1])
     return lonlat_to_utm(lon, lat, kind[1], kind[2])
 
 

@@ -78,3 +78,57 @@ def test_sinusoidal_dispatch():
     xu, yu = crs.transform_points("SINUSOIDAL", "EPSG:32734", xs, ys)
     xu2, yu2 = crs.lonlat_to_utm(18.43, -33.9, 34, True)
     assert np.allclose([xu, yu], [xu2, yu2])
+
+
+def test_lcc_center_anchor_and_round_trip():
+    """LCC-2SP: the projection origin maps to the false origin exactly;
+    round trips are machine precision across each grid's domain."""
+    x, y = crs.lonlat_to_lcc(3.0, 46.5, 2154)       # Lambert-93 origin
+    assert x == pytest.approx(700000.0, abs=1e-6)
+    assert y == pytest.approx(6600000.0, abs=1e-6)
+    x, y = crs.lonlat_to_lcc(-95.0, 49.0, 3978)     # Canada Atlas origin
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+    for epsg, lons, lats in (
+        (2154, np.linspace(-4, 9, 25), np.linspace(42, 51, 25)),
+        (3978, np.linspace(-140, -50, 25), np.linspace(42, 83, 25)),
+    ):
+        X, Y = crs.lonlat_to_lcc(lons, lats, epsg)
+        lo, la = crs.lcc_to_lonlat(X, Y, epsg)
+        assert np.abs(lo - lons).max() < 1e-9
+        assert np.abs(la - lats).max() < 1e-9
+
+
+def test_lcc_unit_scale_on_standard_parallels():
+    """The defining property of LCC-2SP: local scale factor is exactly 1
+    along BOTH standard parallels (any error in n/F/t/m shows up here)."""
+    e2 = crs._GRS80_F * (2 - crs._GRS80_F)
+    for epsg, lon0, sps in ((2154, 3.0, (49.0, 44.0)),
+                            (3978, -95.0, (49.0, 77.0))):
+        for sp in sps:
+            dlam = 1e-6
+            x1, y1 = crs.lonlat_to_lcc(lon0, sp, epsg)
+            x2, y2 = crs.lonlat_to_lcc(lon0 + dlam, sp, epsg)
+            proj = np.hypot(x2 - x1, y2 - y1)
+            s = np.sin(np.radians(sp))
+            geod = (6378137.0 * np.cos(np.radians(sp))
+                    / np.sqrt(1 - e2 * s * s) * np.radians(dlam))
+            assert proj / geod == pytest.approx(1.0, abs=1e-8)
+
+
+def test_lcc_known_value_paris_lambert93():
+    """Published conversion: Paris (2.3522 E, 48.8566 N) in RGF93 /
+    Lambert-93 is (652469.02, 6862035.26) — pins the full ellipsoidal
+    formula chain against an external authority, not a round trip."""
+    x, y = crs.lonlat_to_lcc(2.3522, 48.8566, 2154)
+    assert x == pytest.approx(652469.02, abs=0.5)
+    assert y == pytest.approx(6862035.26, abs=0.5)
+
+
+def test_lcc_dispatch_and_cross_crs():
+    x, y = crs.transform_points("EPSG:4326", "EPSG:2154", 2.3522, 48.8566)
+    x2, y2 = crs.lonlat_to_lcc(2.3522, 48.8566, 2154)
+    assert np.allclose([x, y], [x2, y2])
+    # Lambert-93 -> UTM 31N via the lon/lat pivot
+    xu, yu = crs.transform_points("EPSG:2154", "EPSG:32631", x, y)
+    xu2, yu2 = crs.lonlat_to_utm(2.3522, 48.8566, 31, False)
+    assert np.allclose([xu, yu], [xu2, yu2], atol=1e-6)
