@@ -216,6 +216,62 @@ def lcc_to_lonlat(x, y, epsg: int):
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
+# Polar stereographic grids (ellipsoidal, variant B — standard parallel):
+# EPSG → (south?, lat_ts, lon0, false_easting, false_northing).  WGS84.
+_PS = {
+    3413: (False, 70.0, -45.0, 0.0, 0.0),   # NSIDC Sea Ice Polar North
+    3031: (True, -71.0, 0.0, 0.0, 0.0),     # Antarctic Polar Stereographic
+}
+_E = np.sqrt(_E2)
+
+
+def _ps_t(phi):
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+
+
+def _ps_consts(lat_ts):
+    pc = np.radians(abs(lat_ts))
+    s = np.sin(pc)
+    m_c = np.cos(pc) / np.sqrt(1 - _E2 * s * s)
+    return m_c, _ps_t(pc)
+
+
+def lonlat_to_polar_stereo(lon, lat, epsg: int):
+    """Ellipsoidal polar stereographic, standard-parallel variant (Snyder
+    21-34..21-41): ρ = a·m_c·t(φ)/t_c; the south aspect mirrors φ and the
+    y axis."""
+    south, lat_ts, lon0, fe, fn = _PS[epsg]
+    m_c, t_c = _ps_consts(lat_ts)
+    lon = np.asarray(lon, np.float64)
+    phi = np.radians(np.asarray(lat, np.float64))
+    if south:
+        phi = -phi
+    rho = _A * m_c * _ps_t(phi) / t_c
+    th = np.radians(lon - lon0)
+    x = fe + rho * np.sin(th)
+    y = (fn + rho * np.cos(th)) if south else (fn - rho * np.cos(th))
+    return x, y
+
+
+def polar_stereo_to_lonlat(x, y, epsg: int):
+    south, lat_ts, lon0, fe, fn = _PS[epsg]
+    m_c, t_c = _ps_consts(lat_ts)
+    dx = np.asarray(x, np.float64) - fe
+    dy = np.asarray(y, np.float64) - fn
+    rho = np.hypot(dx, dy)
+    tp = rho * t_c / (_A * m_c)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(10):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(tp * ((1 - s) / (1 + s)) ** (_E / 2))
+    lam = np.arctan2(dx, dy) if south else np.arctan2(dx, -dy)
+    if south:
+        phi = -phi
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
 def _parse(crs: str):
     c = crs.upper().replace(" ", "")
     if c in ("EPSG:4326", "WGS84", "CRS:84"):
@@ -230,6 +286,8 @@ def _parse(crs: str):
         return ("sinu",)
     if c.startswith("EPSG:") and c[5:].isdigit() and int(c[5:]) in _LCC:
         return ("lcc", int(c[5:]))
+    if c.startswith("EPSG:") and c[5:].isdigit() and int(c[5:]) in _PS:
+        return ("ps", int(c[5:]))
     raise ValueError(
         f"unsupported CRS {crs!r}: closed-form transforms cover EPSG:4326, "
         "EPSG:3857, UTM EPSG:326xx/327xx, the MODIS sinusoidal grid and "
@@ -247,6 +305,8 @@ def to_lonlat(crs: str, x, y):
         return sinusoidal_to_lonlat(x, y)
     if kind[0] == "lcc":
         return lcc_to_lonlat(x, y, kind[1])
+    if kind[0] == "ps":
+        return polar_stereo_to_lonlat(x, y, kind[1])
     return utm_to_lonlat(x, y, kind[1], kind[2])
 
 
@@ -260,6 +320,8 @@ def from_lonlat(crs: str, lon, lat):
         return lonlat_to_sinusoidal(lon, lat)
     if kind[0] == "lcc":
         return lonlat_to_lcc(lon, lat, kind[1])
+    if kind[0] == "ps":
+        return lonlat_to_polar_stereo(lon, lat, kind[1])
     return lonlat_to_utm(lon, lat, kind[1], kind[2])
 
 

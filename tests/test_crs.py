@@ -132,3 +132,40 @@ def test_lcc_dispatch_and_cross_crs():
     xu, yu = crs.transform_points("EPSG:2154", "EPSG:32631", x, y)
     xu2, yu2 = crs.lonlat_to_utm(2.3522, 48.8566, 31, False)
     assert np.allclose([xu, yu], [xu2, yu2], atol=1e-6)
+
+
+def test_polar_stereo_anchors_round_trip_and_scale():
+    """Polar stereographic (EPSG:3413 north / 3031 south): the pole maps
+    to the grid origin exactly, round trips are machine precision, local
+    scale is exactly 1 on the true-scale parallel (the variant-B defining
+    property), and the 3413 central meridian lands on the -y axis."""
+    assert crs.lonlat_to_polar_stereo(0.0, 90.0, 3413) == (0.0, 0.0)
+    assert crs.lonlat_to_polar_stereo(0.0, -90.0, 3031) == (0.0, 0.0)
+    lon = np.linspace(-180, 179, 37)
+    for epsg, lats in ((3413, np.linspace(60, 89, 37)),
+                       (3031, np.linspace(-89, -60, 37))):
+        X, Y = crs.lonlat_to_polar_stereo(lon, lats, epsg)
+        lo, la = crs.polar_stereo_to_lonlat(X, Y, epsg)
+        dl = (lo - lon + 180) % 360 - 180
+        assert np.abs(dl).max() < 1e-9 and np.abs(la - lats).max() < 1e-9
+    e2 = 0.00669437999014
+    for epsg, ts in ((3413, 70.0), (3031, -71.0)):
+        d = 1e-6
+        x1, y1 = crs.lonlat_to_polar_stereo(10.0, ts, epsg)
+        x2, y2 = crs.lonlat_to_polar_stereo(10.0 + d, ts, epsg)
+        s = np.sin(np.radians(ts))
+        geod = (6378137.0 * np.cos(np.radians(ts))
+                / np.sqrt(1 - e2 * s * s) * np.radians(d))
+        assert np.hypot(x2 - x1, y2 - y1) / geod == pytest.approx(
+            1.0, abs=1e-8)
+    x, y = crs.lonlat_to_polar_stereo(-45.0, 70.0, 3413)
+    assert abs(x) < 1e-6
+    assert y == pytest.approx(-2187927.65, abs=0.5)  # published ρ at 70N
+
+
+def test_polar_stereo_dispatch():
+    x, y = crs.transform_points("EPSG:4326", "EPSG:3031", 166.668, -77.846)
+    x2, y2 = crs.lonlat_to_polar_stereo(166.668, -77.846, 3031)
+    assert np.allclose([x, y], [x2, y2])
+    lo, la = crs.transform_points("EPSG:3031", "EPSG:4326", x, y)
+    assert np.allclose([lo, la], [166.668, -77.846])
