@@ -355,3 +355,57 @@ def test_modis_sinusoidal_ref_fuses_like_utm_native(spark):
     assert both.mean() > 0.9
     rel = np.abs(cross[both] - native[both]) / np.abs(native[both])
     assert np.nanmax(rel) < 1e-3, np.nanmax(rel)
+
+
+@pytest.mark.parametrize("tile_crs,lon_c,lat_c", [
+    ("EPSG:2154", 3.0, 46.5),      # Lambert-93 (France)
+    ("EPSG:3413", -40.0, 75.0),    # NSIDC polar north
+])
+def test_regrid_warp_reaches_new_projections(spark, tile_crs, lon_c, lat_c):
+    """Warp-path reachability for the round-4 projections: a tile stored
+    in an LCC / polar-stereographic CRS regrids onto a Web-Mercator grid
+    and reproduces a plane defined in TILE-CRS coordinates at the warped
+    pixel centers (bilinear of a plane is exact; any dispatch or
+    axis-convention error in the new transforms would corrupt this)."""
+    from homonim_spark import crs as crsmod
+
+    x_c, y_c = crsmod.lonlat_to_webmercator(lon_c, lat_c)
+    cr0 = int(np.floor(y_c / CELL))
+    cc0 = int(np.floor(x_c / CELL))
+    # tile-CRS rectangle covering the 2x2-cell grid area with margin
+    gxs = np.array([cc0 * CELL - CELL, (cc0 + 3) * CELL])
+    gys = np.array([cr0 * CELL - CELL, (cr0 + 3) * CELL])
+    GX, GY = np.meshgrid(gxs, gys)
+    TX, TY = crsmod.transform_points("EPSG:3857", tile_crs,
+                                     GX.ravel(), GY.ravel())
+    tx0, ty0 = TX.min(), TY.min()
+    px_t = PX  # similar metric scale
+    w = int(np.ceil((TX.max() - tx0) / px_t))
+    h = int(np.ceil((TY.max() - ty0) / px_t))
+    tc = np.array([TX.mean(), TY.mean()])
+
+    def plane(x, y):
+        return (0.001 * (x - tc[0]) + 0.002 * (y - tc[1])).astype(np.float32)
+
+    cols = tx0 + (np.arange(w) + 0.5) * px_t
+    rows = ty0 + (np.arange(h) + 0.5) * px_t
+    X, Y = np.meshgrid(cols, rows)
+    t = {"image_id": "warp", "role": "src", "band": 0,
+         "transform": [px_t, 0.0, float(tx0), 0.0, px_t, float(ty0)],
+         "h": h, "w": w, "data": encode_tile(plane(X, Y)),
+         "crs": tile_crs}
+    tiles = spark.createDataFrame(pd.DataFrame([t]))
+    out = regrid_tiles(tiles, RES, TILE, grid_crs="EPSG:3857").toPandas()
+    cells = {(r.row, r.col): r for r in out.itertuples(index=False)}
+    assert (cr0, cc0) in cells, sorted(cells)
+    r = cells[(cr0, cc0)]
+    arr = decode_tile(r.data, TILE, TILE)
+    gx = cc0 * CELL + (np.arange(TILE) + 0.5) * PX
+    gy = cr0 * CELL + (np.arange(TILE) + 0.5) * PX
+    MX, MY = np.meshgrid(gx, gy)
+    WX, WY = crsmod.transform_points("EPSG:3857", tile_crs,
+                                     MX.ravel(), MY.ravel())
+    want = plane(WX, WY).reshape(TILE, TILE)
+    mask = ~np.isnan(arr)
+    assert mask.mean() > 0.95
+    np.testing.assert_allclose(arr[mask], want[mask], atol=0.05)
