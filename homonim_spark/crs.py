@@ -216,6 +216,66 @@ def lcc_to_lonlat(x, y, epsg: int):
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
+# Albers equal-area conic 2SP grids:
+# EPSG → (a, f, lat1, lat2, lat0, lon0, false_easting, false_northing).
+_AEA = {
+    5070: (_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # NAD83 / Conus Albers (the USGS national analysis grid)
+}
+
+
+def _aea_consts(a, f, lat1, lat2, lat0):
+    """Snyder ellipsoidal Albers constants (e, n, C, ρ0/a, q(φ))."""
+    e2 = f * (2 - f)
+    e = np.sqrt(e2)
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - np.log((1 - e * s) / (1 + e * s)) / (2 * e))
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    return e, e2, n, C, np.sqrt(C - n * q(p0)) / n, q
+
+
+def lonlat_to_albers(lon, lat, epsg: int):
+    """Ellipsoidal Albers equal-area conic 2SP forward (Snyder 14-1..14-4):
+    ρ = a·sqrt(C − n·q(φ))/n, θ = n·Δλ."""
+    a, f, lat1, lat2, lat0, lon0, fe, fn = _AEA[epsg]
+    e, e2, n, C, rho0_a, q = _aea_consts(a, f, lat1, lat2, lat0)
+    lon = np.asarray(lon, np.float64)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rho = a * np.sqrt(C - n * q(phi)) / n
+    th = n * np.radians(lon - lon0)
+    return fe + rho * np.sin(th), fn + a * rho0_a - rho * np.cos(th)
+
+
+def albers_to_lonlat(x, y, epsg: int):
+    """Inverse Albers: q from ρ, then φ by Snyder's 3-4 fixed-point
+    iteration (converges to double precision in < 10 rounds)."""
+    a, f, lat1, lat2, lat0, lon0, fe, fn = _AEA[epsg]
+    e, e2, n, C, rho0_a, _q = _aea_consts(a, f, lat1, lat2, lat0)
+    dx = np.asarray(x, np.float64) - fe
+    dy = a * rho0_a - (np.asarray(y, np.float64) - fn)
+    rho = np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    qv = (C - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(qv / 2, -1, 1))
+    for _ in range(10):
+        s = np.sin(phi)
+        e_s = e * s
+        phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+            qv / (1 - e2) - s / (1 - e2 * s * s)
+            + np.log((1 - e_s) / (1 + e_s)) / (2 * e))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
 # Polar stereographic grids (ellipsoidal, variant B — standard parallel):
 # EPSG → (south?, lat_ts, lon0, false_easting, false_northing).  WGS84.
 _PS = {
@@ -288,6 +348,8 @@ def _parse(crs: str):
         return ("lcc", int(c[5:]))
     if c.startswith("EPSG:") and c[5:].isdigit() and int(c[5:]) in _PS:
         return ("ps", int(c[5:]))
+    if c.startswith("EPSG:") and c[5:].isdigit() and int(c[5:]) in _AEA:
+        return ("aea", int(c[5:]))
     raise ValueError(
         f"unsupported CRS {crs!r}: closed-form transforms cover EPSG:4326, "
         "EPSG:3857, UTM EPSG:326xx/327xx, the MODIS sinusoidal grid and "
@@ -307,6 +369,8 @@ def to_lonlat(crs: str, x, y):
         return lcc_to_lonlat(x, y, kind[1])
     if kind[0] == "ps":
         return polar_stereo_to_lonlat(x, y, kind[1])
+    if kind[0] == "aea":
+        return albers_to_lonlat(x, y, kind[1])
     return utm_to_lonlat(x, y, kind[1], kind[2])
 
 
@@ -322,6 +386,8 @@ def from_lonlat(crs: str, lon, lat):
         return lonlat_to_lcc(lon, lat, kind[1])
     if kind[0] == "ps":
         return lonlat_to_polar_stereo(lon, lat, kind[1])
+    if kind[0] == "aea":
+        return lonlat_to_albers(lon, lat, kind[1])
     return lonlat_to_utm(lon, lat, kind[1], kind[2])
 
 

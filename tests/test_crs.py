@@ -169,3 +169,47 @@ def test_polar_stereo_dispatch():
     assert np.allclose([x, y], [x2, y2])
     lo, la = crs.transform_points("EPSG:3031", "EPSG:4326", x, y)
     assert np.allclose([lo, la], [166.668, -77.846])
+
+
+def test_albers_anchor_round_trip_and_equal_area():
+    """Albers equal-area conic (EPSG:5070 CONUS): origin → false origin
+    exactly; machine-precision round trips; the projected area of an
+    infinitesimal lon/lat patch equals the ellipsoidal surface element
+    everywhere (THE defining property — any error in n/C/q breaks it);
+    parallel scale is exactly 1 on both standard parallels."""
+    assert crs.lonlat_to_albers(-96.0, 23.0, 5070) == (0.0, 0.0)
+    lon = np.linspace(-125, -66, 30)
+    lat = np.linspace(24, 49, 30)
+    X, Y = crs.lonlat_to_albers(lon, lat, 5070)
+    lo, la = crs.albers_to_lonlat(X, Y, 5070)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+    a, e2 = 6378137.0, crs._GRS80_F * (2 - crs._GRS80_F)
+    d = 1e-6
+    for lonc, latc in [(-120, 35), (-96, 23), (-80, 45), (-70, 30)]:
+        x0, y0 = crs.lonlat_to_albers(lonc, latc, 5070)
+        x1, y1 = crs.lonlat_to_albers(lonc + d, latc, 5070)
+        x2, y2 = crs.lonlat_to_albers(lonc, latc + d, 5070)
+        J = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+        s = np.sin(np.radians(latc))
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        N = a / np.sqrt(1 - e2 * s * s)
+        dA = M * N * np.cos(np.radians(latc)) * np.radians(d) ** 2
+        assert J / dA == pytest.approx(1.0, abs=1e-6)
+    for sp in (29.5, 45.5):                   # unit parallel scale at SPs
+        x1, y1 = crs.lonlat_to_albers(-96.0, sp, 5070)
+        x2, y2 = crs.lonlat_to_albers(-96.0 + d, sp, 5070)
+        s = np.sin(np.radians(sp))
+        geod = (a * np.cos(np.radians(sp)) / np.sqrt(1 - e2 * s * s)
+                * np.radians(d))
+        assert np.hypot(x2 - x1, y2 - y1) / geod == pytest.approx(
+            1.0, abs=1e-7)
+
+
+def test_albers_dispatch():
+    x, y = crs.transform_points("EPSG:4326", "EPSG:5070", -104.99, 39.74)
+    x2, y2 = crs.lonlat_to_albers(-104.99, 39.74, 5070)
+    assert np.allclose([x, y], [x2, y2])
+    lo, la = crs.transform_points("EPSG:5070", "EPSG:4326", x, y)
+    assert np.allclose([lo, la], [-104.99, 39.74])
