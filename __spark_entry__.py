@@ -1406,6 +1406,72 @@ FROM b GROUP BY 1 ORDER BY split
 """
 
 
+def q_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking passage overlap, ORACLE-CHECKED: documents
+    split at polynomial-rolling-hash boundaries (window 16, cut prob 1/64
+    — boundaries depend only on local content, so shared PASSAGES chunk
+    identically wherever they appear), chunks fingerprinted with md5, and
+    pairs sharing ≥ 2 distinct chunks reported.  This catches partial
+    duplication / benchmark contamination that whole-doc fingerprints and
+    global-similarity MinHash miss.  The hash is exact integer arithmetic
+    (codepoint · pʲ mod 2³¹−1) with the power table single-sourced from
+    `_cdc_ppow`, so DuckDB replays boundary placement, chunking, and the
+    inverted-index join position-for-position."""
+    from homonim_spark.operators.dedup import passage_overlap_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (passage_overlap_pairs(docs, min_shared=2)
+            .select("doc_a", "doc_b",
+                    F.col("shared_chunks").cast("long").alias("shared_chunks"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _oracle_passage_overlap() -> str:
+    from homonim_spark.operators.dedup import CDC_WINDOW, _cdc_ppow
+    ppow = "[" + ", ".join(str(v) for v in _cdc_ppow(CDC_WINDOW)) + "]"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, t FROM docs WHERE LENGTH(t) > 0
+), pos AS (
+  SELECT doc_id, t,
+         UNNEST(range(0, GREATEST(LENGTH(t) - {CDC_WINDOW} + 1, 0))) AS i
+  FROM nz
+), cuts AS (
+  SELECT doc_id, i + {CDC_WINDOW} AS cut
+  FROM pos
+  WHERE (list_sum(list_transform(range(0, {CDC_WINDOW}), j ->
+           (CAST(unicode(substr(t, CAST(i + j + 1 AS INT), 1)) AS BIGINT)
+            * ({ppow})[CAST(j + 1 AS INT)]) % 2147483647))
+         % 2147483647) % 64 = 0
+), bounds AS (
+  SELECT n.doc_id, n.t,
+         list_sort(list_distinct(list_prepend(0,
+           list_append(COALESCE(c.cs, []), CAST(LENGTH(n.t) AS BIGINT)))))
+           AS bs
+  FROM nz n LEFT JOIN (SELECT doc_id, list(cut) AS cs FROM cuts
+                       GROUP BY doc_id) c USING (doc_id)
+), chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(bs)), k ->
+           md5(substr(t, CAST(bs[CAST(k AS INT)] + 1 AS INT),
+                      CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)]
+                           AS INT))))) AS chunk_fp
+  FROM bounds
+), cf AS (
+  SELECT DISTINCT doc_id, chunk_fp FROM chunks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS shared_chunks
+FROM cf a JOIN cf b ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_PASSAGE_OVERLAP = _oracle_passage_overlap()
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState session
     windows), ORACLE-CHECKED: with the whole events table in ONE
@@ -2500,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
         "hash_split": q_hash_split,
+        "passage_overlap": q_passage_overlap,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2561,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_sessionize": ORACLE_STREAMING_SESSIONIZE,
         "hash_split": ORACLE_HASH_SPLIT,
+        "passage_overlap": ORACLE_PASSAGE_OVERLAP,
         "asof_join": ORACLE_ASOF_JOIN,
         "range_join": ORACLE_RANGE_JOIN,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

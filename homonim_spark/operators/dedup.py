@@ -483,3 +483,115 @@ def _simhash_rep_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (passage-level overlap / contamination detection)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16                  # rolling-hash window (chars)
+CDC_MODULUS = 64                 # boundary probability 1/64 → ~64-char chunks
+_CDC_M = 2147483647              # Mersenne prime 2^31−1
+_CDC_P = 131
+
+
+def _cdc_ppow(w: int = CDC_WINDOW) -> list[int]:
+    """p^j mod M for j in 0..w−1 — shared by the numpy kernel and the SQL
+    oracle (embedded as literals), so the hash cannot drift between them."""
+    out, v = [], 1
+    for _ in range(w):
+        out.append(v)
+        v = (v * _CDC_P) % _CDC_M
+    return out
+
+
+def content_chunks(
+    documents: DataFrame, text_col: str = "text",
+    window: int = CDC_WINDOW, modulus: int = CDC_MODULUS,
+) -> DataFrame:
+    """Content-defined chunking: split each (normalized) document at
+    positions where a polynomial rolling hash of the trailing ``window``
+    code points ≡ 0 (mod ``modulus``), and fingerprint each chunk.
+
+    Boundaries depend only on LOCAL content, so a shared passage chunks
+    identically in every document containing it regardless of where it
+    appears — the property fixed-size shingling lacks, and the basis of
+    partial-duplicate / benchmark-contamination detection at corpus
+    scale.  The hash is exact integer arithmetic (codepoint · pⱼ mod
+    2³¹−1), reproducible by any engine; the kernel vectorizes each doc's
+    windows as one numpy gather (O(n·w), w = 16 constant — linear).
+
+    Returns (doc_id, chunk_idx, chunk_len, chunk_fp) — only fingerprints
+    and ids leave the executor; chunk text never shuffles.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ppow = np.asarray(_cdc_ppow(window), dtype=np.int64)
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "chunk_idx": [], "chunk_len": [],
+                    "chunk_fp": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf[text_col]):
+                if raw is None:
+                    continue
+                t = " ".join(str(raw).lower().strip().split())
+                n = len(t)
+                if n == 0:
+                    continue
+                if n < window:
+                    bounds = [0, n]
+                else:
+                    codes = np.frombuffer(
+                        t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+                    idx = (np.arange(n - window + 1)[:, None]
+                           + np.arange(window)[None, :])
+                    hv = ((codes[idx] * ppow[None, :]) % _CDC_M).sum(
+                        axis=1) % _CDC_M
+                    cuts = np.nonzero(hv % modulus == 0)[0] + window
+                    bounds = sorted({0, n, *cuts.tolist()})
+                for k, (a, b) in enumerate(zip(bounds, bounds[1:])):
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(k)
+                    rows["chunk_len"].append(b - a)
+                    rows["chunk_fp"].append(
+                        hashlib.md5(t[a:b].encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        chunk_batch,
+        schema="doc_id long, chunk_idx int, chunk_len int, chunk_fp string")
+
+
+def passage_overlap_pairs(
+    documents: DataFrame, text_col: str = "text", min_shared: int = 2,
+    max_df: int | None = None, window: int = CDC_WINDOW,
+    modulus: int = CDC_MODULUS,
+) -> DataFrame:
+    """Pairs of documents sharing ≥ ``min_shared`` distinct content-defined
+    chunks — partial-duplicate / contamination candidates that whole-doc
+    fingerprints and even MinHash (which needs global similarity) miss.
+
+    Inverted-index join on chunk fingerprints: candidate volume is
+    Σ df(fp)² over shared fingerprints, bounded by ``max_df`` (drop
+    stop-chunks with document frequency above it — same knob as the
+    n-gram index).  Only (doc_id, fp) pairs shuffle.
+    """
+    ch = (content_chunks(documents, text_col, window, modulus)
+          .select("doc_id", "chunk_fp").distinct())
+    if max_df is not None:
+        hot = (ch.groupBy("chunk_fp").count()
+               .filter(F.col("count") > max_df).select("chunk_fp"))
+        ch = ch.join(F.broadcast(hot), "chunk_fp", "left_anti")
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

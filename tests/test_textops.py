@@ -293,3 +293,50 @@ def test_duplicate_clusters_transitive_and_collapse(spark):
     # canonical per cluster (a, c00, p) + the untouched singleton; c05 is
     # non-canonical in the chain cluster and b/z/q are non-canonical
     assert sorted(kept["doc_id"]) == ["a", "c00", "p", "solo"]
+
+
+def test_content_chunks_position_invariant_passage(spark):
+    """THE content-defined-chunking property: a long shared passage
+    produces identical chunk fingerprints in every document containing
+    it, regardless of where it appears — fixed-stride shingles break
+    under shifts, CDC does not."""
+    passage = ("the quick brown fox jumps over the lazy dog while "
+               "seventeen astronomers catalogued variable stars in "
+               "the southern sky and the tide tables were reprinted "
+               "for every harbour on the eastern seaboard of the continent")
+    d0 = "intro words here. " + passage + " closing remark."
+    d1 = ("a completely different and much longer preamble about nothing "
+          "in particular that shifts every offset " + passage +
+          " with another ending entirely.")
+    d2 = "no shared content at all, just some unrelated filler text."
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string")
+    ch = dedup.content_chunks(docs).toPandas()
+    fps = {i: set(ch[ch.doc_id == i]["chunk_fp"]) for i in range(3)}
+    shared01 = fps[0] & fps[1]
+    assert len(shared01) >= 2        # interior passage chunks align
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    pairs = dedup.passage_overlap_pairs(docs, min_shared=2).toPandas()
+    assert [(r.doc_a, r.doc_b) for r in pairs.itertuples(index=False)] \
+        == [(0, 1)]
+
+
+def test_content_chunks_cover_text_and_short_docs(spark):
+    """Chunks partition the normalized text exactly (lengths sum to the
+    text length, indices contiguous); sub-window docs yield one chunk."""
+    docs = spark.createDataFrame(
+        [(0, "  Many   Spaces   normalise  Here  before chunking begins "
+             "and the rolling hash sees one canonical form of the text"),
+         (1, "tiny doc"), (2, None), (3, "   ")],
+        "doc_id long, text string")
+    ch = dedup.content_chunks(docs).toPandas()
+    assert set(ch.doc_id) == {0, 1}          # NULL and whitespace skipped
+    g0 = ch[ch.doc_id == 0].sort_values("chunk_idx")
+    norm0 = " ".join("  Many   Spaces   normalise  Here  before chunking "
+                     "begins and the rolling hash sees one canonical form "
+                     "of the text".lower().split())
+    assert g0["chunk_len"].sum() == len(norm0)
+    assert list(g0["chunk_idx"]) == list(range(len(g0)))
+    g1 = ch[ch.doc_id == 1]
+    assert len(g1) == 1 and g1.iloc[0]["chunk_len"] == len("tiny doc")
