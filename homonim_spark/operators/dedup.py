@@ -547,11 +547,19 @@ def content_chunks(
                 else:
                     codes = np.frombuffer(
                         t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
-                    idx = (np.arange(n - window + 1)[:, None]
-                           + np.arange(window)[None, :])
-                    hv = ((codes[idx] * ppow[None, :]) % _CDC_M).sum(
-                        axis=1) % _CDC_M
-                    cuts = np.nonzero(hv % modulus == 0)[0] + window
+                    offs = np.arange(window)
+                    cut_list = []
+                    # slice the window gather so per-doc scratch stays
+                    # O(slice·w) regardless of document length (a 1 MB
+                    # doc would otherwise materialize a 128 MB matrix)
+                    for s0 in range(0, n - window + 1, 65536):
+                        s1 = min(s0 + 65536, n - window + 1)
+                        idx = np.arange(s0, s1)[:, None] + offs[None, :]
+                        hv = ((codes[idx] * ppow[None, :]) % _CDC_M).sum(
+                            axis=1) % _CDC_M
+                        cut_list.append(
+                            np.nonzero(hv % modulus == 0)[0] + s0 + window)
+                    cuts = np.concatenate(cut_list)
                     bounds = sorted({0, n, *cuts.tolist()})
                 for k, (a, b) in enumerate(zip(bounds, bounds[1:])):
                     rows["doc_id"].append(doc_id)

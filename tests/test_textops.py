@@ -340,3 +340,28 @@ def test_content_chunks_cover_text_and_short_docs(spark):
     assert list(g0["chunk_idx"]) == list(range(len(g0)))
     g1 = ch[ch.doc_id == 1]
     assert len(g1) == 1 and g1.iloc[0]["chunk_len"] == len("tiny doc")
+
+
+def test_content_chunks_slice_seam_on_long_doc(spark):
+    """A document spanning multiple 65536-window hash slices must chunk
+    identically to a direct single-pass computation (seam regression for
+    the bounded-memory gather)."""
+    import hashlib
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    t = " ".join(rng.choice(words, size=14000))        # ~80k chars
+    docs = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    got = (dedup.content_chunks(docs).toPandas()
+           .sort_values("chunk_idx")["chunk_fp"].tolist())
+
+    # direct reference: one unsliced pass of the same arithmetic
+    norm = " ".join(t.lower().strip().split())
+    codes = np.frombuffer(norm.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    ppow = np.asarray(dedup._cdc_ppow(), dtype=np.int64)
+    idx = np.arange(len(norm) - 16 + 1)[:, None] + np.arange(16)[None, :]
+    hv = ((codes[idx] * ppow[None, :]) % 2147483647).sum(axis=1) % 2147483647
+    cuts = np.nonzero(hv % 64 == 0)[0] + 16
+    bounds = sorted({0, len(norm), *cuts.tolist()})
+    want = [hashlib.md5(norm[a:b].encode()).hexdigest()
+            for a, b in zip(bounds, bounds[1:]) if b > a]
+    assert len(got) > 100 and got == want
