@@ -1413,10 +1413,13 @@ def q_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically wherever they appear), chunks fingerprinted with md5, and
     pairs sharing ≥ 2 distinct chunks reported.  This catches partial
     duplication / benchmark contamination that whole-doc fingerprints and
-    global-similarity MinHash miss.  The hash is exact integer arithmetic
-    (codepoint · pʲ mod 2³¹−1) with the power table single-sourced from
-    `_cdc_ppow`, so DuckDB replays boundary placement, chunking, and the
-    inverted-index join position-for-position."""
+    global-similarity MinHash miss.  The boundary hash is exact integer
+    arithmetic (codepoint · pʲ mod 2³¹−1) with the power table
+    single-sourced from `_cdc_ppow`; chunk fingerprints are two packed
+    31-bit Horner hashes (vectorized via modular prefix sums in the
+    engine, replayed as a `list_reduce` fold in DuckDB) — so boundary
+    placement, chunking, and the inverted-index join are replayed
+    position-for-position."""
     from homonim_spark.operators.dedup import passage_overlap_pairs
     docs = _t(spark, sf_dir, "documents")
     return (passage_overlap_pairs(docs, min_shared=2)
@@ -1426,8 +1429,9 @@ def q_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_passage_overlap() -> str:
-    from homonim_spark.operators.dedup import CDC_WINDOW, _cdc_ppow
+    from homonim_spark.operators.dedup import CDC_WINDOW, _CDC_FP, _cdc_ppow
     ppow = "[" + ", ".join(str(v) for v in _cdc_ppow(CDC_WINDOW)) + "]"
+    (q1, m1), (q2, m2) = _CDC_FP
     return f"""
 WITH docs AS (
   SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS t
@@ -1452,13 +1456,22 @@ WITH docs AS (
            AS bs
   FROM nz n LEFT JOIN (SELECT doc_id, list(cut) AS cs FROM cuts
                        GROUP BY doc_id) c USING (doc_id)
-), chunks AS (
-  SELECT doc_id,
-         UNNEST(list_transform(range(1, len(bs)), k ->
-           md5(substr(t, CAST(bs[CAST(k AS INT)] + 1 AS INT),
-                      CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)]
-                           AS INT))))) AS chunk_fp
+), bnds AS (
+  SELECT doc_id, t,
+         UNNEST(list_transform(range(1, len(bs)), k -> struct_pack(
+           a := bs[CAST(k AS INT)], b := bs[CAST(k + 1 AS INT)]))) AS ab
   FROM bounds
+), chunks AS (
+  -- two packed 31-bit Horner folds over the chunk's code points — the
+  -- exact arithmetic of the engine's vectorized prefix-sum form
+  SELECT doc_id,
+         list_reduce(list_transform(range(1, CAST(ab.b - ab.a AS INT) + 1),
+             j -> CAST(unicode(substr(t, CAST(ab.a + j AS INT), 1)) AS BIGINT)),
+           (acc, c) -> (acc * {q1} + c) % {m1}) * 2147483648
+       + list_reduce(list_transform(range(1, CAST(ab.b - ab.a AS INT) + 1),
+             j -> CAST(unicode(substr(t, CAST(ab.a + j AS INT), 1)) AS BIGINT)),
+           (acc, c) -> (acc * {q2} + c) % {m2}) AS chunk_fp
+  FROM bnds
 ), cf AS (
   SELECT DISTINCT doc_id, chunk_fp FROM chunks
 )
@@ -2538,6 +2551,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS file records the FIRST 50
+    # entries of this dict.  Every operator family's unique gate row must
+    # therefore sit in the first 50; redundant relational drills (variants
+    # of categories already covered by an earlier row) are parked in the
+    # overflow tail below and stay verifiable via tools/check_oracles.py.
     return {
         # relational / aggregation engine analogues (DuckDB-checked)
         "compare_stats": q_compare_stats,
@@ -2546,15 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_window": q_data_window,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "promo_share": q_promo_share,
         "band_match_rank": q_band_match_rank,
-        "topk_orders": q_topk_orders,
         "join_pushdown": q_join_pushdown,
         "sessionize": q_sessionize,
-        "json_extract": q_json_extract,
-        "set_ops": q_set_ops,
-        "cube_orders": q_cube_orders,
         "anti_semi_join": q_anti_semi_join,
         "skew_report": q_skew_report,
         # text / dedup / similarity (DuckDB-checked)
@@ -2598,6 +2610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_params": q_vectorize_params,
         "pip_assign": q_pip_assign,
         "knn_cells": q_knn_cells,
+        # ---- overflow tail (entries 51+): redundant relational variants of
+        # categories already gated above; checked by tools/check_oracles.py.
+        "tpch_q6": q_tpch_q6,
+        "promo_share": q_promo_share,
+        "topk_orders": q_topk_orders,
+        "json_extract": q_json_extract,
+        "set_ops": q_set_ops,
+        "cube_orders": q_cube_orders,
     }
 
 

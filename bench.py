@@ -109,25 +109,44 @@ def main() -> None:
         "similarity_topk", "rollup_mean", "data_window",
     ]
     qs = entry.queries()
-    for name in suite:
-        # one untimed run (plan compile + JIT), then min of 2 = steady state
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = None
-        for _ in range(2):
+
+    # Suite protocol (round-4 verdict #2): same convergence rule as the fuse —
+    # one untimed warm-up, then MINIMUM 3 timed reps, continuing (to 6) until
+    # a rep fails to beat the prior best by >8%; report the min.  min-of-2
+    # let a single host-weather storm freeze uninterpretable numbers into a
+    # whole round's sample; per-rep times go into the JSON so any residual
+    # noise is self-identifying.
+    suite_reps: dict[str, list[float]] = {}
+
+    def timed_min(name, run) -> float:
+        run()  # untimed: plan compile + JIT
+        best, reps = None, []
+        for rep in range(6):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            run()
             dt = time.perf_counter() - t0
+            reps.append(round(dt, 3))
+            prev = best
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if rep >= 2 and prev is not None and dt <= prev * 1.08:
+                break
+        suite_reps[name] = reps
+        return best
+
+    for name in suite:
+        timings[name] = round(timed_min(
+            name, lambda: qs[name](spark, sf_dir).write.format("noop")
+            .mode("overwrite").save()), 3)
 
     # SRP-bucketed embedding near-dup (the ANN scale path)
     from homonim_spark.operators.similarity import embedding_near_duplicates
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
-    t0 = time.perf_counter()
-    embedding_near_duplicates(emb, threshold=0.45, exact=False, dim=dim,
-                              n_planes=10).write.format("noop").mode("overwrite").save()
-    timings["embedding_neardup_lsh"] = round(time.perf_counter() - t0, 3)
+    timings["embedding_neardup_lsh"] = round(timed_min(
+        "embedding_neardup_lsh",
+        lambda: embedding_near_duplicates(
+            emb, threshold=0.45, exact=False, dim=dim, n_planes=10)
+        .write.format("noop").mode("overwrite").save()), 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     try:
@@ -145,6 +164,7 @@ def main() -> None:
         "fuse_output_tiles": n_out,
         "fuse_src_tiles": n_src_tiles,
         "fuse_reps": fuse_reps,
+        "suite_reps": suite_reps,
         "loadavg": loadavg,
         "cpus": int(cpus),
     }

@@ -58,6 +58,18 @@ class KernelModelParams:
         kh, kw = self.kernel_shape
         if kh % 2 != 1 or kw % 2 != 1:
             raise ConfigError("`kernel_shape` must be odd in both dimensions.")
+        # chunk-invariance guard: the halo is ceil(k/2) px, but cubic needs
+        # 2 px and lanczos-3 needs 3 px of context — with smaller kernels the
+        # interpolator silently reads zero-padding at chunk edges and
+        # chunked != whole-image (documented above; now enforced)
+        _interp_min_k = {"cubic": 3, "lanczos": 5}
+        min_k = _interp_min_k.get(self.param_interp)
+        if min_k is not None and min(kh, kw) < min_k:
+            raise ConfigError(
+                f"`param_interp='{self.param_interp}'` requires "
+                f"`kernel_shape` >= {min_k} in both dimensions (needs "
+                f"{min_k // 2 + 1} px of halo context; ceil(k/2) halo gives "
+                "less for smaller kernels, breaking chunk-invariance).")
         if kh < 1 or kw < 1:
             raise ConfigError("`kernel_shape` must be a minimum of one in both dimensions.")
         if Model(self.model) == Model.gain_offset and kh * kw < 2:

