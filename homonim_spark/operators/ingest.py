@@ -64,8 +64,99 @@ def bilinear_sample(arr: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarr
     return out
 
 
+def _lanczos_w(t: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos-a weights sinc(t)·sinc(t/a) on |t| < a (0 outside)."""
+    out = np.zeros_like(t, dtype=np.float64)
+    m = np.abs(t) < a
+    tm = t[m]
+    out[m] = np.sinc(tm) * np.sinc(tm / a)
+    return out
+
+
+def _catmull_rom_w(t: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic weights (a = −0.5) on |t| < 2."""
+    at = np.abs(t)
+    out = np.zeros_like(t, dtype=np.float64)
+    m1 = at < 1
+    m2 = ~m1 & (at < 2)
+    out[m1] = 1.5 * at[m1] ** 3 - 2.5 * at[m1] ** 2 + 1.0
+    out[m2] = -0.5 * at[m2] ** 3 + 2.5 * at[m2] ** 2 - 4.0 * at[m2] + 2.0
+    return out
+
+
+#: separable-kernel taps per resampling method: (pixel offsets, weight fn)
+_KERNEL_TAPS = {
+    "cubic": (np.arange(-1, 3), _catmull_rom_w),
+    "lanczos": (np.arange(-2, 4), _lanczos_w),
+}
+
+
+def kernel_sample(arr: np.ndarray, ys: np.ndarray, xs: np.ndarray,
+                  kind: str) -> np.ndarray:
+    """Sample ``arr`` at fractional pixel coords with a separable kernel
+    (Catmull-Rom 4×4 or Lanczos-3 6×6) using NORMALIZED CONVOLUTION over
+    valid taps — GDAL's warp-with-nodata semantics (invalid/out-of-range
+    taps are excluded and the kernel renormalized), which is what the
+    reference gets from ``Resampling.lanczos``/``cubic`` on masked rasters
+    (``raster_array.py:526-578``).  Targets outside the source extent, or
+    with no valid tap, are NaN.  All-tap-valid interior points reduce to
+    the textbook separable interpolation exactly (den = Σw = 1)."""
+    offs, wfun = _KERNEL_TAPS[kind]
+    h, w = arr.shape
+    out = np.full(ys.shape, np.nan, dtype=np.float32)
+    inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    if not inb.any():
+        return out
+    y = ys[inb].astype(np.float64)
+    x = xs[inb].astype(np.float64)
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    wy = wfun((y - y0)[:, None] - offs[None, :])     # (n, k)
+    wx = wfun((x - x0)[:, None] - offs[None, :])
+    num = np.zeros(len(y), dtype=np.float64)
+    den = np.zeros(len(y), dtype=np.float64)
+    for i, dy in enumerate(offs):
+        yy = y0 + dy
+        y_ok = (yy >= 0) & (yy < h)
+        yc = np.clip(yy, 0, h - 1)
+        for j, dx in enumerate(offs):
+            xx = x0 + dx
+            ok = y_ok & (xx >= 0) & (xx < w)
+            v = arr[yc, np.clip(xx, 0, w - 1)]
+            ok &= ~np.isnan(v)
+            wgt = np.where(ok, wy[:, i] * wx[:, j], 0.0)
+            num += wgt * np.where(ok, v, 0.0)
+            den += wgt
+    with np.errstate(invalid="ignore"):
+        vals = np.where(np.abs(den) > 1e-9, num / den, np.nan)
+    out[inb] = vals.astype(np.float32)
+    return out
+
+
+def nearest_sample(arr: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor sample at fractional pixel coords; NaN outside."""
+    h, w = arr.shape
+    out = np.full(ys.shape, np.nan, dtype=np.float32)
+    inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    if not inb.any():
+        return out
+    yi = np.clip(np.rint(ys[inb]).astype(np.int64), 0, h - 1)
+    xi = np.clip(np.rint(xs[inb]).astype(np.int64), 0, w - 1)
+    out[inb] = arr[yi, xi]
+    return out
+
+
+_SAMPLERS = {
+    "nearest": nearest_sample,
+    "bilinear": bilinear_sample,
+    "cubic": lambda a, y, x: kernel_sample(a, y, x, "cubic"),
+    "lanczos": lambda a, y, x: kernel_sample(a, y, x, "lanczos"),
+}
+
+
 def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
-                 grid_crs: str | None = None) -> DataFrame:
+                 grid_crs: str | None = None,
+                 resampling: str = "bilinear") -> DataFrame:
     """Normalise arbitrary-transform tiles onto the canonical grid at
     resolution ``res`` with ``tile_px`` pixels per cell per dim.
 
@@ -82,7 +173,18 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
 
     Output: canonical tiles (one per covered cell) with the standard
     engine schema subset; fragments from overlapping inputs are averaged.
+
+    ``resampling``: ``'bilinear'`` (default — strict mask propagation,
+    the oracle-pinned contract), ``'nearest'``, ``'cubic'`` (Catmull-Rom
+    4×4), or ``'lanczos'`` (Lanczos-3 6×6) — the latter two use GDAL-style
+    normalized convolution over valid taps, matching the reference's
+    ``Resampling.lanczos`` reproject default (``raster_array.py:526-578``).
     """
+    if resampling not in _SAMPLERS:
+        raise ValueError(
+            f"resampling must be one of {sorted(_SAMPLERS)}, got "
+            f"{resampling!r}")
+    sampler = _SAMPLERS[resampling]
     cell_sz = grid.cell_size(res)
     px_out = cell_sz / tile_px
     has_crs = grid_crs is not None and "crs" in tiles.columns
@@ -116,32 +218,34 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
                 # inverse affine (a,b;d,e)
                 det = a * e - b * d
                 ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
-                # ALL covered cells' canonical pixel centers in one canvas:
-                # one transform_points call and one bilinear pass per tile
+                # canonical pixel centers vectorized by CELL-ROW STRIPE:
+                # one transform_points call and one sampler pass per stripe
                 # (the per-cell-loop form made tile_px² warp calls per cell;
-                # per-element arithmetic is unchanged, so payloads are
-                # bit-identical)
+                # the full-canvas form bounded scratch by the tile's
+                # bounding BOX, which under a curved warp or diagonal tile
+                # can be many times the tile area — stripes cap scratch at
+                # O(n_cols·tile_px²) while per-element arithmetic is
+                # unchanged, so payloads stay bit-identical)
                 crs_r = np.arange(r0, r1 + 1)
                 crs_c = np.arange(c0, c1 + 1)
                 gx = (crs_c[:, None] * cell_sz
                       + (np.arange(tile_px)[None, :] + 0.5) * px_out).ravel()
-                gy = (crs_r[:, None] * cell_sz
-                      + (np.arange(tile_px)[None, :] + 0.5) * px_out).ravel()
-                WX, WY = np.meshgrid(gx, gy)
-                if warp:
-                    fx, fy = transform_points(grid_crs, tile_crs,
-                                              WX.ravel(), WY.ravel())
-                    WX = fx.reshape(WX.shape)
-                    WY = fy.reshape(WY.shape)
-                # world → source pixel coords (center convention:
-                # pixel (i,j) center at col=j+0.5, row=i+0.5)
-                px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
-                py_c = id_ * (WX - c) + ie * (WY - f_) - 0.5
-                vals_all = bilinear_sample(arr, py_c, px_c)
                 for i_r, cr in enumerate(crs_r):
+                    gy = (cr * cell_sz
+                          + (np.arange(tile_px) + 0.5) * px_out)
+                    WX, WY = np.meshgrid(gx, gy)
+                    if warp:
+                        fx, fy = transform_points(grid_crs, tile_crs,
+                                                  WX.ravel(), WY.ravel())
+                        WX = fx.reshape(WX.shape)
+                        WY = fy.reshape(WY.shape)
+                    # world → source pixel coords (center convention:
+                    # pixel (i,j) center at col=j+0.5, row=i+0.5)
+                    px_c = ia * (WX - c) + ib * (WY - f_) - 0.5
+                    py_c = id_ * (WX - c) + ie * (WY - f_) - 0.5
+                    vals_row = sampler(arr, py_c, px_c)
                     for i_c, cc in enumerate(crs_c):
-                        vals = vals_all[i_r * tile_px:(i_r + 1) * tile_px,
-                                        i_c * tile_px:(i_c + 1) * tile_px]
+                        vals = vals_row[:, i_c * tile_px:(i_c + 1) * tile_px]
                         valid = ~np.isnan(vals)
                         if not valid.any():
                             continue
@@ -349,7 +453,7 @@ def gtiff_window_rows(spark, paths: list, role: str,
 def ingest_gtiff_files_windowed(
     spark, path: str, role: str, res: int, tile_px: int,
     nodata: float | None = None, grid_crs: str | None = None,
-    window_rows: int = 512,
+    window_rows: int = 512, resampling: str = "bilinear",
 ) -> DataFrame:
     """End-to-end windowed real-file ingestion: glob → IFD-planned window
     units → per-window executor decode → canonical-grid regrid.  The
@@ -357,17 +461,25 @@ def ingest_gtiff_files_windowed(
     one task per FILE and materializes whole files — fine for many small
     files, a memory spike and parallelism floor for multi-GB mosaics)."""
     import glob as _glob
-    paths = sorted(_glob.glob(path))
-    if not paths:
-        raise FileNotFoundError(f"no files match {path!r}")
+    if path.startswith(("http://", "https://")):
+        # remote object-store / https source: no filesystem glob — the
+        # windowed reader speaks HTTP range requests directly (tiffio
+        # ``_HttpRangeFile``; the reference's /vsicurl/ analogue)
+        paths = [path]
+    else:
+        paths = sorted(_glob.glob(path))
+        if not paths:
+            raise FileNotFoundError(f"no files match {path!r}")
     return regrid_tiles(gtiff_window_rows(spark, paths, role, nodata,
                                           window_rows),
-                        res, tile_px, grid_crs=grid_crs)
+                        res, tile_px, grid_crs=grid_crs,
+                        resampling=resampling)
 
 
 def ingest_gtiff_files(spark, path: str, role: str, res: int, tile_px: int,
                        nodata: float | None = None,
-                       grid_crs: str | None = None) -> DataFrame:
+                       grid_crs: str | None = None,
+                       resampling: str = "bilinear") -> DataFrame:
     """Scan a directory/glob of GTiffs with ``binaryFile``, decode per-band
     in executors, and regrid onto the canonical cell grid — the end-to-end
     real-file ingestion used in place of driver-side ``read_gtiff(path)``.
@@ -380,4 +492,4 @@ def ingest_gtiff_files(spark, path: str, role: str, res: int, tile_px: int,
     grid CRS."""
     bf = spark.read.format("binaryFile").load(path)
     return regrid_tiles(gtiff_band_rows(bf, role, nodata), res, tile_px,
-                        grid_crs=grid_crs)
+                        grid_crs=grid_crs, resampling=resampling)
