@@ -8,7 +8,8 @@ reference itself produced (its ``ParamStats`` goldens,
 this environment; the goldens are small classic little-endian TIFFs with
 deflate-compressed tiles or strips, which is a ~150-line parse.
 
-Supported: classic (non-Big) TIFF, II byte order, compression 1 (none),
+Supported: classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte offsets —
+files > 4 GiB), II and MM byte orders, compression 1 (none),
 8/32946 (zlib/deflate), 5 (LZW, with TIFF early-change code widths) and
 32773 (PackBits), horizontal-differencing predictor (tag 317 = 2), planar
 config 1 (chunky) and 2 (separate planes), tiled or stripped layout, sample
@@ -149,24 +150,53 @@ class GeoTiff:
         return out
 
 
-def _read_ifd(buf: bytes, off: int, bo: str):
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+def _parse_tiff_header(head: bytes):
+    """(byte order, is_bigtiff, first-IFD offset) from the first 16 bytes.
+
+    Classic TIFF (magic 42, 4-byte offsets) and BigTIFF (magic 43, 8-byte
+    offsets — mandatory for files > 4 GiB, which at 100 TB corpus scale is
+    the NORM for mosaics), in either II or MM byte order."""
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF (byte-order mark {head[:2]!r})")
+    (magic,) = struct.unpack_from(bo + "H", head, 2)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(bo + "I", head, 4)
+        return bo, False, ifd_off
+    if magic == 43:
+        osize, zero = struct.unpack_from(bo + "HH", head, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header ({osize}, {zero})")
+        (ifd_off,) = struct.unpack_from(bo + "Q", head, 8)
+        return bo, True, ifd_off
+    raise ValueError(f"not a TIFF (magic {magic})")
+
+
+def _read_ifd(buf: bytes, off: int, bo: str, big: bool = False):
+    cfmt, esz, inline = ("Q", 20, 8) if big else ("H", 12, 4)
+    (n,) = struct.unpack_from(bo + cfmt, buf, off)
+    base = off + struct.calcsize(cfmt)
     tags = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + i * 12)
-        raw = buf[off + 10 + i * 12: off + 14 + i * 12]
+        tag, typ = struct.unpack_from(bo + "HH", buf, base + i * esz)
+        (cnt,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                    buf, base + i * esz + 4)
+        raw = buf[base + i * esz + esz - inline: base + (i + 1) * esz]
         tags[tag] = (typ, cnt, raw)
-    (nxt,) = struct.unpack_from(bo + "I", buf, off + 2 + n * 12)
+    (nxt,) = struct.unpack_from(bo + ("Q" if big else "I"), buf, base + n * esz)
     return tags, nxt
 
 
-def _tag_value(buf: bytes, t, bo: str):
+def _tag_value(buf: bytes, t, bo: str, big: bool = False):
     typ, cnt, raw = t
     size = _TYPE_SIZE.get(typ, 1) * cnt
-    if size <= 4:
+    if size <= (8 if big else 4):
         data = raw[:size]
     else:
-        (o,) = struct.unpack(bo + "I", raw)
+        (o,) = struct.unpack(bo + ("Q" if big else "I"), raw)
         data = buf[o: o + size]
     if typ == 2:  # ascii
         return data.rstrip(b"\0").decode("utf-8", "replace")
@@ -220,6 +250,7 @@ class GTiffMeta:
     transform: tuple | None = None
     crs: str | None = None
     predictor: int = 1              # tag 317: 2 = horizontal differencing
+    bo: str = "<"                   # sample byte order: "<" (II) or ">" (MM)
 
 
 class _HttpRangeFile:
@@ -313,14 +344,14 @@ def _open_raster(path: str):
     return open(path, "rb")
 
 
-def _tag_value_f(f, t, bo: str):
+def _tag_value_f(f, t, bo: str, big: bool = False):
     """_tag_value against a seekable file instead of a full buffer."""
     typ, cnt, raw = t
     size = _TYPE_SIZE.get(typ, 1) * cnt
-    if size <= 4:
+    if size <= (8 if big else 4):
         data = raw[:size]
     else:
-        (o,) = struct.unpack(bo + "I", raw)
+        (o,) = struct.unpack(bo + ("Q" if big else "I"), raw)
         f.seek(o)
         data = f.read(size)
     if typ == 2:
@@ -336,25 +367,23 @@ def _tag_value_f(f, t, bo: str):
 
 
 def read_gtiff_meta(path: str) -> GTiffMeta:
-    """Parse ONLY the IFD of a classic little-endian GeoTIFF — a few KB of
-    reads regardless of file size (for ``http(s)://`` URLs they ARE range
-    GETs of the same few KB — see ``_HttpRangeFile``)."""
+    """Parse ONLY the IFD of a GeoTIFF — a few KB of reads regardless of
+    file size (for ``http(s)://`` URLs they ARE range GETs of the same few
+    KB — see ``_HttpRangeFile``).  Classic or BigTIFF, II or MM."""
     with _open_raster(path) as f:
-        head = f.read(8)
-        if head[:2] != b"II":
-            raise ValueError("only little-endian (II) classic TIFF supported")
-        bo = "<"
-        magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
-        if magic != 42:
-            raise ValueError(f"not a classic TIFF (magic {magic})")
+        bo, big, ifd_off = _parse_tiff_header(f.read(16))
+        cfmt, esz, inline = ("Q", 20, 8) if big else ("H", 12, 4)
         f.seek(ifd_off)
-        (n,) = struct.unpack(bo + "H", f.read(2))
-        entries = f.read(n * 12 + 4)
+        (n,) = struct.unpack(bo + cfmt, f.read(struct.calcsize(cfmt)))
+        entries = f.read(n * esz + (8 if big else 4))
         tags = {}
         for i in range(n):
-            tag, typ, cnt = struct.unpack_from(bo + "HHI", entries, i * 12)
-            tags[tag] = (typ, cnt, entries[i * 12 + 8: i * 12 + 12])
-        g = lambda tag, default=None: (_tag_value_f(f, tags[tag], bo)
+            tag, typ = struct.unpack_from(bo + "HH", entries, i * esz)
+            (cnt,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                        entries, i * esz + 4)
+            tags[tag] = (typ, cnt,
+                         entries[i * esz + esz - inline: (i + 1) * esz])
+        g = lambda tag, default=None: (_tag_value_f(f, tags[tag], bo, big)
                                        if tag in tags else default)
         width, height = g(256)[0], g(257)[0]
         spp = g(277, [1])[0]
@@ -387,7 +416,7 @@ def read_gtiff_meta(path: str) -> GTiffMeta:
             planar=planar, tiled=tiled, block_w=block_w, block_h=block_h,
             offsets=offsets, counts=counts, nodata=nodata,
             transform=transform, crs=_parse_geokeys(g(34735)),
-            predictor=predictor,
+            predictor=predictor, bo=bo,
         )
 
 
@@ -396,7 +425,7 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
     blocks' byte ranges — per-task memory is the window plus one block row,
     independent of file size.  Works over ``http(s)://`` URLs via range
     requests (``_open_raster``)."""
-    dtype = np.dtype("<" + meta.dtype)
+    dtype = np.dtype(meta.bo + meta.dtype)
     decomp = _decompressor(meta.comp)
     out = np.zeros((meta.spp, y1 - y0, meta.width), dtype=dtype.newbyteorder("="))
     bx = (meta.width + meta.block_w - 1) // meta.block_w
@@ -411,8 +440,11 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
                 for i in range(bx):
                     idx = plane * per_plane + j * bx + i
                     f.seek(meta.offsets[idx])
+                    # native byte order BEFORE the predictor cumsum (the
+                    # unsigned view it uses reinterprets raw bytes)
                     raw = np.frombuffer(decomp(f.read(meta.counts[idx])),
-                                        dtype=dtype)
+                                        dtype=dtype).astype(
+                        dtype.newbyteorder("="), copy=False)
                     # External writers routinely emit a SHORT final strip
                     # (tiles are always padded, strips need not be): derive
                     # the row count from the actual payload size.
@@ -534,13 +566,17 @@ def write_gtiff(
     epsg: int | None = None,
     rows_per_strip: int = 1,
     predictor: int = 1,
+    bigtiff: bool = False,
+    byteorder: str = "<",
 ) -> None:
-    """Minimal classic-TIFF writer (the read side's inverse): chunky planar,
+    """Minimal TIFF writer (the read side's inverse): chunky planar,
     raw/deflate/LZW/PackBits, optional horizontal-differencing predictor,
     tiled (``tile=(th, tw)``) or stripped (``rows_per_strip``) layout.  Used
     by tests to synthesize fixtures and by the whole-file sink for GTiff
     export parity.  ``compress`` accepts the legacy bool (True = deflate)
-    or a codec name."""
+    or a codec name.  ``bigtiff=True`` emits BigTIFF (magic 43, 8-byte
+    offsets — required for > 4 GiB exports); ``byteorder`` is ``'<'`` (II,
+    default) or ``'>'`` (MM)."""
     data = np.ascontiguousarray(data)
     if data.ndim == 2:
         data = data[None]
@@ -570,7 +606,11 @@ def write_gtiff(
             # the final strip is SHORT when h % rps != 0 (spec-legal;
             # readers must size it from the payload, not RowsPerStrip)
             blocks.append(np.moveaxis(data[:, j * rps: (j + 1) * rps], 0, -1))
-    payload = [enc(_apply_predictor(b, predictor).tobytes()) for b in blocks]
+    if byteorder not in ("<", ">"):
+        raise ValueError("byteorder must be '<' (II) or '>' (MM)")
+    payload = [enc(_apply_predictor(b, predictor)
+                   .astype(dt.newbyteorder(byteorder), copy=False).tobytes())
+               for b in blocks]
 
     entries = []  # (tag, type, count, values)
     def add(tag, typ, vals):
@@ -611,44 +651,64 @@ def write_gtiff(
         nd = (f"{nodata:.10g}" + "\0").encode()
         add(42113, 2, list(nd))
 
-    # layout: header(8) | IFD | out-of-line tag data | blocks
+    # layout: header | IFD | out-of-line tag data | blocks.  Classic: 8-byte
+    # header, 12-byte entries, 4-byte inline/offsets.  BigTIFF: 16-byte
+    # header, 20-byte entries, 8-byte inline/offsets.
+    bo = byteorder
+    inline_cap = 8 if bigtiff else 4
+    esz = 20 if bigtiff else 12
+    cfmt = "Q" if bigtiff else "H"           # entry-count field
+    ofmt = "Q" if bigtiff else "I"           # offset / next-IFD field
+    off_typ = 16 if bigtiff else 4           # block offsets tag type (u8/u4)
+
     def pack_vals(typ, vals):
         if typ == 2:
             return bytes(vals)
-        return struct.pack("<" + str(len(vals)) + _TYPE_FMT[typ], *vals)
+        return struct.pack(bo + str(len(vals)) + _TYPE_FMT[typ], *vals)
 
     n_blocks = len(payload)
     counts = [len(p) for p in payload]
     n_entries = len(entries) + 2          # + block offsets/counts tags
-    ifd_off = 8
-    data_off = ifd_off + 2 + n_entries * 12 + 4
+    ifd_off = 16 if bigtiff else 8
+    data_off = (ifd_off + struct.calcsize(cfmt) + n_entries * esz
+                + struct.calcsize(ofmt))
     inline_sz = sum(len(pack_vals(t, v)) for _, t, v in entries
-                    if len(pack_vals(t, v)) > 4)
-    offs_blob_sz = 4 * n_blocks if 4 * n_blocks > 4 else 0
-    blocks_off = data_off + inline_sz + 2 * offs_blob_sz
+                    if len(pack_vals(t, v)) > inline_cap)
+    per_off = struct.calcsize(ofmt)
+    idx_blob = per_off * n_blocks            # offsets and counts blobs alike
+    blocks_off = (data_off + inline_sz
+                  + 2 * (idx_blob if idx_blob > inline_cap else 0))
     offsets, pos = [], blocks_off
     for p in payload:
         offsets.append(pos)
         pos += len(p)
-    entries.append((324 if tile else 273, 4, offsets))
-    entries.append((325 if tile else 279, 4, counts))
+    entries.append((324 if tile else 273, off_typ, offsets))
+    entries.append((325 if tile else 279, off_typ, counts))
     entries.sort(key=lambda e: e[0])
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
+    if bigtiff:
+        # 2s mark | H magic 43 | H offset-size 8 | H reserved 0 | Q IFD off
+        out += struct.pack(bo + "2sHHHQ", b"II" if bo == "<" else b"MM",
+                           43, 8, 0, ifd_off)
+    else:
+        out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
+                           42, ifd_off)
+    out += struct.pack(bo + cfmt, len(entries))
     extra = bytearray()
     extra_pos = data_off
     for tag, typ, vals in entries:
         blob = pack_vals(typ, vals)
         cnt = len(blob) if typ == 2 else len(vals)
-        if len(blob) <= 4:
-            out += struct.pack("<HHI", tag, typ, cnt) + blob.ljust(4, b"\0")
+        out += struct.pack(bo + "HH", tag, typ)
+        out += struct.pack(bo + ("Q" if bigtiff else "I"), cnt)
+        if len(blob) <= inline_cap:
+            out += blob.ljust(inline_cap, b"\0")
         else:
-            out += struct.pack("<HHII", tag, typ, cnt, extra_pos)
+            out += struct.pack(bo + ofmt, extra_pos)
             extra += blob
             extra_pos += len(blob)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack(bo + ofmt, 0)  # no next IFD
     assert len(out) == data_off, (len(out), data_off)
     out += extra
     assert len(out) == blocks_off, (len(out), blocks_off)
@@ -698,14 +758,9 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
     else:
         with _open_raster(src) as f:
             buf = f.read()
-    if buf[:2] != b"II":
-        raise ValueError("only little-endian (II) classic TIFF supported")
-    bo = "<"
-    magic, ifd_off = struct.unpack(bo + "HI", buf[2:8])
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
-    tags, _ = _read_ifd(buf, ifd_off, bo)
-    g = lambda tag, default=None: (_tag_value(buf, tags[tag], bo)
+    bo, big, ifd_off = _parse_tiff_header(buf[:16])
+    tags, _ = _read_ifd(buf, ifd_off, bo, big)
+    g = lambda tag, default=None: (_tag_value(buf, tags[tag], bo, big)
                                    if tag in tags else default)
 
     width, height = g(256)[0], g(257)[0]
@@ -736,7 +791,8 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
         per_plane = tiles_x * tiles_y
         bpb = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype)
+            raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype).astype(
+                dtype.newbyteorder("="), copy=False)
             block = _undo_predictor(raw.reshape(tl, tw, bpb), predictor)
             plane = 0 if planar == 1 else i // per_plane
             j = i if planar == 1 else i % per_plane
@@ -747,7 +803,8 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
         strips_per_plane = (height + rps - 1) // rps
         bpb = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype)
+            raw = np.frombuffer(decomp(buf[o: o + c]), dtype=dtype).astype(
+                dtype.newbyteorder("="), copy=False)
             plane = 0 if planar == 1 else i // strips_per_plane
             j = i if planar == 1 else i % strips_per_plane
             # derive rows from the payload (short final strips are legal)

@@ -283,3 +283,49 @@ def test_https_ingest_e2e(http_raster_server, spark):
         np.testing.assert_array_equal(
             decode_tile(gr.data[i], tile_px, tile_px),
             decode_tile(gl.data[i], tile_px, tile_px))
+
+
+# --------------------------------------------------- BigTIFF + byte orders
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+def test_bigtiff_and_byteorder_matrix(tmp_path, bigtiff, byteorder):
+    """Every (format × byte-order) cell round-trips bit-identically through
+    whole-file AND windowed paths.  BigTIFF is mandatory for > 4 GiB files
+    — the NORM for corpus-scale mosaics; MM-order files are routinely
+    produced by older toolchains (the reference reads both via GDAL)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 60_000, (2, 37, 29), dtype=np.uint16)
+    path = str(tmp_path / f"bt_{bigtiff}_{byteorder == '<'}.tif")
+    write_gtiff(path, img, compress="lzw", rows_per_strip=8, predictor=2,
+                epsg=32633, transform=(2.0, 0.0, 10.0, 0.0, -2.0, 90.0),
+                bigtiff=bigtiff, byteorder=byteorder)
+
+    head = open(path, "rb").read(4)
+    assert head[:2] == (b"II" if byteorder == "<" else b"MM")
+    magic = int.from_bytes(head[2:4], "little" if byteorder == "<" else "big")
+    assert magic == (43 if bigtiff else 42)
+
+    got = read_gtiff(path)
+    np.testing.assert_array_equal(got.data, img)
+    assert got.crs == "EPSG:32633"
+    assert got.transform == (2.0, 0.0, 10.0, 0.0, -2.0, 90.0)
+
+    meta = read_gtiff_meta(path)
+    assert meta.bo == byteorder
+    for y0, y1 in [(0, 8), (5, 21), (30, 37)]:
+        np.testing.assert_array_equal(
+            decode_window(path, meta, y0, y1), img[:, y0:y1])
+
+
+def test_bigtiff_float_tiled_roundtrip(tmp_path):
+    img = np.linspace(-4, 9, 3 * 48 * 32, dtype=np.float32).reshape(3, 48, 32)
+    path = str(tmp_path / "bt_f32.tif")
+    write_gtiff(path, img, compress="deflate", tile=(16, 16), nodata=-4.0,
+                bigtiff=True)
+    got = read_gtiff(path)
+    np.testing.assert_array_equal(got.data, img)
+    assert got.nodata == -4.0
+    meta = read_gtiff_meta(path)
+    np.testing.assert_array_equal(decode_window(path, meta, 13, 35),
+                                  img[:, 13:35])
