@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "DIR must be shared storage on a real cluster")
     f.add_argument("--export-epsg", type=int, default=None,
                    help="EPSG code stamped into exported GeoTIFF GeoKeys")
+    f.add_argument("--build-ovw", action="store_true",
+                   help="build internal overview IFDs (power-of-2 average "
+                        "pyramid) in exported GeoTIFFs — the reference's "
+                        "--build-ovw (cli.py:346)")
     f.add_argument("--conf", default=None, metavar="YAML",
                    help="yaml config; fills parameters not given on the "
                         "command line (reference cli.py:88-117 semantics)")
@@ -139,7 +143,7 @@ def main(argv=None) -> int:
             export_corrected_gtiff(
                 fused, args.export_gtiff, dtype=args.dtype,
                 nodata=args.nodata, scale_h=scale_h,
-                epsg=args.export_epsg).collect()
+                epsg=args.export_epsg, build_ovw=args.build_ovw).collect()
         n_bands = fused.select("band").distinct().count()
         manifest = run_manifest(args.model, tuple(args.kernel),
                                 cfg.proc_crs.value, n_bands,

@@ -118,10 +118,15 @@ def export_corrected_gtiff(
     nodata: Optional[float] = None, scale_h: int = 1,
     res: Optional[int] = None, tile: Optional[tuple] = (256, 256),
     compress: bool = True, epsg: Optional[int] = None,
+    build_ovw: bool = False, ovw_min_px: int = 256,
 ) -> DataFrame:
     """S8 file-format parity: write ONE corrected GeoTIFF per image — the
     artifact a homonim user actually consumes (the reference writes
-    ``*_FUSE_*.tif`` via rasterio, ``fuse.py:193-252``).
+    ``*_FUSE_*.tif`` via rasterio, ``fuse.py:193-252``).  With
+    ``build_ovw`` each export also carries internal overview IFDs
+    (power-of-2 average pyramid, the reference's ``--build-ovw`` default,
+    ``fuse.py:152-165,287``) — built in the same executor task, no extra
+    Spark stage.
 
     Distributed per image: tiles are dtype-converted by
     :func:`convert_tiles`, hash-partitioned by ``image_id``, and each
@@ -169,11 +174,14 @@ def export_corrected_gtiff(
         px = cell_sz / t
         transform = (px, 0.0, c0 * cell_sz, 0.0, -px,
                      (r0 * cell_sz) + H * px)
-        from homonim_spark.tiffio import write_gtiff
+        from homonim_spark.tiffio import build_overviews, write_gtiff
         path = f"{out_dir}/{image_id}_FUSE.tif"
+        ovw = (build_overviews(canvas, nodata=nodata,
+                               min_level_pixels=ovw_min_px)
+               if build_ovw else None)
         write_gtiff(path, canvas, transform=transform,
                     nodata=None if nodata is None else float(nodata),
-                    tile=tile, compress=compress, epsg=epsg)
+                    tile=tile, compress=compress, epsg=epsg, overviews=ovw)
         return pd.DataFrame([{"image_id": image_id, "path": path,
                               "n_bands": nb, "height": H, "width": W}])
 

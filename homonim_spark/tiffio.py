@@ -141,6 +141,7 @@ class GeoTiff:
     metadata: dict = field(default_factory=dict)
     transform: tuple | None = None  # (px_w, 0, x0, 0, px_h, y0) if present
     crs: str | None = None          # "EPSG:NNNN" from the GeoKey directory
+    n_overviews: int = 0            # chained reduced-resolution IFDs
 
     def masked(self) -> np.ndarray:
         """float64 cube with nodata → NaN."""
@@ -556,9 +557,9 @@ def _apply_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
     return b
 
 
-def write_gtiff(
-    path: str,
+def _ifd_segment(
     data: np.ndarray,
+    seg_off: int,
     transform: tuple | None = None,
     nodata: float | None = None,
     tile: tuple | None = None,
@@ -568,15 +569,15 @@ def write_gtiff(
     predictor: int = 1,
     bigtiff: bool = False,
     byteorder: str = "<",
-) -> None:
-    """Minimal TIFF writer (the read side's inverse): chunky planar,
-    raw/deflate/LZW/PackBits, optional horizontal-differencing predictor,
-    tiled (``tile=(th, tw)``) or stripped (``rows_per_strip``) layout.  Used
-    by tests to synthesize fixtures and by the whole-file sink for GTiff
-    export parity.  ``compress`` accepts the legacy bool (True = deflate)
-    or a codec name.  ``bigtiff=True`` emits BigTIFF (magic 43, 8-byte
-    offsets — required for > 4 GiB exports); ``byteorder`` is ``'<'`` (II,
-    default) or ``'>'`` (MM)."""
+    subfile_type: int | None = None,
+) -> tuple[bytearray, int]:
+    """Serialize ONE IFD 'segment' — ``IFD | out-of-line tag data | blocks``
+    — anchored at absolute file offset ``seg_off`` (all stored offsets are
+    absolute).  Returns ``(segment, next_ptr_pos)`` where ``next_ptr_pos``
+    is the position WITHIN the segment of the next-IFD pointer field
+    (written as 0; :func:`write_gtiff` patches it to chain overview IFDs).
+    ``subfile_type`` becomes tag 254 (NewSubfileType; 1 = reduced-resolution
+    overview, the GDAL internal-overview convention)."""
     data = np.ascontiguousarray(data)
     if data.ndim == 2:
         data = data[None]
@@ -616,6 +617,8 @@ def write_gtiff(
     def add(tag, typ, vals):
         entries.append((tag, typ, vals if isinstance(vals, (list, tuple)) else [vals]))
 
+    if subfile_type is not None:
+        add(254, 4, subfile_type)
     add(256, 4, w); add(257, 4, h)
     add(258, 3, [bits] * spp)
     add(259, 3, comp_code)
@@ -651,9 +654,9 @@ def write_gtiff(
         nd = (f"{nodata:.10g}" + "\0").encode()
         add(42113, 2, list(nd))
 
-    # layout: header | IFD | out-of-line tag data | blocks.  Classic: 8-byte
-    # header, 12-byte entries, 4-byte inline/offsets.  BigTIFF: 16-byte
-    # header, 20-byte entries, 8-byte inline/offsets.
+    # segment layout: IFD | out-of-line tag data | blocks, anchored at
+    # seg_off.  Classic: 12-byte entries, 4-byte inline/offsets.  BigTIFF:
+    # 20-byte entries, 8-byte inline/offsets.
     bo = byteorder
     inline_cap = 8 if bigtiff else 4
     esz = 20 if bigtiff else 12
@@ -669,8 +672,7 @@ def write_gtiff(
     n_blocks = len(payload)
     counts = [len(p) for p in payload]
     n_entries = len(entries) + 2          # + block offsets/counts tags
-    ifd_off = 16 if bigtiff else 8
-    data_off = (ifd_off + struct.calcsize(cfmt) + n_entries * esz
+    data_off = (seg_off + struct.calcsize(cfmt) + n_entries * esz
                 + struct.calcsize(ofmt))
     inline_sz = sum(len(pack_vals(t, v)) for _, t, v in entries
                     if len(pack_vals(t, v)) > inline_cap)
@@ -687,13 +689,6 @@ def write_gtiff(
     entries.sort(key=lambda e: e[0])
 
     out = bytearray()
-    if bigtiff:
-        # 2s mark | H magic 43 | H offset-size 8 | H reserved 0 | Q IFD off
-        out += struct.pack(bo + "2sHHHQ", b"II" if bo == "<" else b"MM",
-                           43, 8, 0, ifd_off)
-    else:
-        out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
-                           42, ifd_off)
     out += struct.pack(bo + cfmt, len(entries))
     extra = bytearray()
     extra_pos = data_off
@@ -708,14 +703,133 @@ def write_gtiff(
             out += struct.pack(bo + ofmt, extra_pos)
             extra += blob
             extra_pos += len(blob)
-    out += struct.pack(bo + ofmt, 0)  # no next IFD
-    assert len(out) == data_off, (len(out), data_off)
+    next_ptr_pos = len(out)
+    out += struct.pack(bo + ofmt, 0)  # next IFD: patched by write_gtiff
+    assert seg_off + len(out) == data_off, (seg_off + len(out), data_off)
     out += extra
-    assert len(out) == blocks_off, (len(out), blocks_off)
+    assert seg_off + len(out) == blocks_off, (seg_off + len(out), blocks_off)
     for p in payload:
         out += p
+    return out, next_ptr_pos
+
+
+def build_overviews(
+    data: np.ndarray,
+    nodata: float | None = None,
+    max_num_levels: int = 8,
+    min_level_pixels: int = 256,
+) -> list[np.ndarray]:
+    """Reduced-resolution pyramid for :func:`write_gtiff`'s ``overviews``.
+
+    The level rule is the reference's (``fuse.py:152-165``): successive
+    powers of 2, at most ``max_num_levels`` levels, stopping while the
+    shortest dimension still has ≥ ``min_level_pixels`` pixels; average
+    resampling (rasterio ``Resampling.average``), nodata/NaN-aware — each
+    output pixel is the mean of the VALID source pixels in its 2^m × 2^m
+    footprint (computed from full resolution, so levels are exact block
+    means, not compounded approximations), all-invalid footprints get
+    nodata back.  Integer dtypes round half-to-even like the sink's dtype
+    conversion."""
+    import math
+
+    if data.ndim == 2:
+        data = data[None]
+    spp, h, w = data.shape
+    if min(h, w) < 1:
+        return []
+    max_ovw_levels = int(math.floor(math.log2(min(h, w))))
+    n_levels = min(max_num_levels,
+                   max_ovw_levels - int(math.log2(min_level_pixels)))
+    if n_levels <= 0:
+        return []
+    vals = data.astype(np.float64)
+    if nodata is not None and not np.isnan(nodata):
+        valid = data != nodata
+    elif data.dtype.kind == "f":
+        valid = ~np.isnan(vals)
+    else:
+        valid = np.ones(data.shape, dtype=bool)
+    vals = np.where(valid, vals, 0.0)
+    fill = nodata if nodata is not None else (
+        np.nan if data.dtype.kind == "f" else 0)
+    out = []
+    for m in range(1, n_levels + 1):
+        f = 2 ** m
+        oh, ow = (h + f - 1) // f, (w + f - 1) // f
+        pv = np.zeros((spp, oh * f, ow * f), dtype=np.float64)
+        pm = np.zeros((spp, oh * f, ow * f), dtype=np.float64)
+        pv[:, :h, :w] = vals
+        pm[:, :h, :w] = valid
+        s = pv.reshape(spp, oh, f, ow, f).sum(axis=(2, 4))
+        c = pm.reshape(spp, oh, f, ow, f).sum(axis=(2, 4))
+        with np.errstate(invalid="ignore"):
+            avg = np.where(c > 0, s / np.maximum(c, 1), fill)
+        if data.dtype.kind in "ui":
+            avg = np.rint(avg)
+        out.append(avg.astype(data.dtype))
+    return out
+
+
+def write_gtiff(
+    path: str,
+    data: np.ndarray,
+    transform: tuple | None = None,
+    nodata: float | None = None,
+    tile: tuple | None = None,
+    compress: "bool | str | None" = True,
+    epsg: int | None = None,
+    rows_per_strip: int = 1,
+    predictor: int = 1,
+    bigtiff: bool = False,
+    byteorder: str = "<",
+    overviews: "list[np.ndarray] | None" = None,
+) -> None:
+    """Minimal TIFF writer (the read side's inverse): chunky planar,
+    raw/deflate/LZW/PackBits, optional horizontal-differencing predictor,
+    tiled (``tile=(th, tw)``) or stripped (``rows_per_strip``) layout.  Used
+    by tests to synthesize fixtures and by the whole-file sink for GTiff
+    export parity.  ``compress`` accepts the legacy bool (True = deflate)
+    or a codec name.  ``bigtiff=True`` emits BigTIFF (magic 43, 8-byte
+    offsets — required for > 4 GiB exports); ``byteorder`` is ``'<'`` (II,
+    default) or ``'>'`` (MM).  ``overviews`` (from :func:`build_overviews`)
+    are written as chained IFDs with NewSubfileType=1 — GDAL-style internal
+    overviews, the reference's ``build_overviews`` artifact
+    (``fuse.py:152-165,287``); geo/nodata tags stay on the primary IFD
+    only, per GDAL convention."""
+    if byteorder not in ("<", ">"):
+        raise ValueError("byteorder must be '<' (II) or '>' (MM)")
+    bo = byteorder
+    header_sz = 16 if bigtiff else 8
+    images: list[tuple[np.ndarray, int | None]] = [(data, None)]
+    images += [(ov, 1) for ov in (overviews or [])]
+    segs: list[tuple[bytearray, int, int]] = []  # (bytes, next_pos, seg_off)
+    pos = header_sz
+    for i, (img, sft) in enumerate(images):
+        seg, next_pos = _ifd_segment(
+            img, seg_off=pos,
+            transform=transform if i == 0 else None,
+            nodata=nodata if i == 0 else None,
+            tile=tile, compress=compress,
+            epsg=epsg if i == 0 else None,
+            rows_per_strip=rows_per_strip, predictor=predictor,
+            bigtiff=bigtiff, byteorder=bo, subfile_type=sft)
+        segs.append((seg, next_pos, pos))
+        pos += len(seg)
+    ofmt = "Q" if bigtiff else "I"
+    for i in range(len(segs) - 1):
+        seg, next_pos, _ = segs[i]
+        struct.pack_into(bo + ofmt, seg, next_pos, segs[i + 1][2])
+    if bigtiff:
+        # 2s mark | H magic 43 | H offset-size 8 | H reserved 0 | Q IFD off
+        header = struct.pack(bo + "2sHHHQ", b"II" if bo == "<" else b"MM",
+                             43, 8, 0, header_sz)
+    else:
+        header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
+                             42, header_sz)
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(header)
+        for seg, _, _ in segs:
+            f.write(bytes(seg))
 
 
 def _parse_geokeys(geokeys: list[int] | None) -> str | None:
@@ -745,21 +859,33 @@ def _parse_geokeys(geokeys: list[int] | None) -> str | None:
     return None
 
 
-def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
+def read_gtiff(src: "str | bytes | bytearray | memoryview",
+               ifd: int = 0) -> GeoTiff:
     """Decode a GeoTIFF from a filesystem path OR raw bytes.
 
     The bytes form is the executor-side ingestion path:
     ``spark.read.format('binaryFile')`` delivers file contents as a binary
     column, so decode happens where the data is (the reference streams
     windows via GDAL on one node, ``raster_array.py:129-199``; the engine
-    streams whole files through executors instead)."""
+    streams whole files through executors instead).  ``ifd`` selects an
+    image in the next-IFD chain: 0 = full resolution (default), n ≥ 1 = the
+    n-th internal overview (``GeoTiff.n_overviews`` reports how many chain
+    behind the selected IFD)."""
     if isinstance(src, (bytes, bytearray, memoryview)):
         buf = bytes(src)
     else:
         with _open_raster(src) as f:
             buf = f.read()
     bo, big, ifd_off = _parse_tiff_header(buf[:16])
-    tags, _ = _read_ifd(buf, ifd_off, bo, big)
+    tags, nxt = _read_ifd(buf, ifd_off, bo, big)
+    for _ in range(ifd):
+        if not nxt:
+            raise ValueError(f"requested IFD {ifd} but chain ended")
+        tags, nxt = _read_ifd(buf, nxt, bo, big)
+    n_overviews = 0
+    while nxt:
+        n_overviews += 1
+        _, nxt = _read_ifd(buf, nxt, bo, big)
     g = lambda tag, default=None: (_tag_value(buf, tags[tag], bo, big)
                                    if tag in tags else default)
 
@@ -830,4 +956,5 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview") -> GeoTiff:
         data=out, nodata=nodata,
         band_names=[band_names.get(i, f"B{i + 1}") for i in range(spp)],
         metadata=meta, transform=transform, crs=_parse_geokeys(g(34735)),
+        n_overviews=n_overviews,
     )

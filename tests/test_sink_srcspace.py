@@ -201,3 +201,36 @@ def test_export_corrected_gtiff_roundtrip(spark, fused, tmp_path):
         want = np.frombuffer(r.data, dtype="<f4").reshape(t, t)
         np.testing.assert_array_equal(img[int(r.band), rr:rr + t, cc:cc + t],
                                       want)
+
+
+def test_export_gtiff_with_internal_overviews(spark, fused, tmp_path):
+    """S8 + S9 file parity: --build-ovw exports carry chained overview IFDs
+    (power-of-2 masked average, the reference's build_overviews artifact,
+    fuse.py:152-165,287), each level bit-equal to the pyramid of the
+    decoded primary canvas; the stop rule drops levels below min px."""
+    from homonim_spark.operators.sink import export_corrected_gtiff
+    from homonim_spark.tiffio import build_overviews as px_overviews
+    from homonim_spark.tiffio import read_gtiff
+
+    spec, tiles_pdf, fdf = fused
+    # default min_level_pixels=256: the 64x128-px fixture is below the rule
+    # -> a build_ovw export still has exactly ONE image IFD (reference
+    # parity: rasterio builds zero levels here too)
+    m0 = export_corrected_gtiff(
+        fdf, str(tmp_path / "t0"), dtype="float32", nodata=-9999.0,
+        scale_h=spec.factor, res=datagen.FIXTURE_RES, tile=(32, 32),
+        build_ovw=True).toPandas()
+    assert read_gtiff(m0.iloc[0]["path"]).n_overviews == 0
+
+    m1 = export_corrected_gtiff(
+        fdf, str(tmp_path / "t1"), dtype="float32", nodata=-9999.0,
+        scale_h=spec.factor, res=datagen.FIXTURE_RES, tile=(32, 32),
+        build_ovw=True, ovw_min_px=8).toPandas()
+    g = read_gtiff(m1.iloc[0]["path"])
+    assert g.n_overviews == 3  # floor(log2(64)) - 3
+    want = px_overviews(g.data, nodata=-9999.0, min_level_pixels=8)
+    for n in range(1, g.n_overviews + 1):
+        lv = read_gtiff(m1.iloc[0]["path"], ifd=n)
+        np.testing.assert_array_equal(lv.data, want[n - 1])
+        assert lv.nodata is None  # geo/nodata tags on the primary only
+    assert g.nodata == -9999.0

@@ -329,3 +329,96 @@ def test_bigtiff_float_tiled_roundtrip(tmp_path):
     meta = read_gtiff_meta(path)
     np.testing.assert_array_equal(decode_window(path, meta, 13, 35),
                                   img[:, 13:35])
+
+
+# ---------------------------------------------------------------------------
+# internal overviews (chained reduced-resolution IFDs, GDAL convention —
+# the reference's build_overviews artifact, fuse.py:152-165)
+# ---------------------------------------------------------------------------
+
+def test_overview_level_rule_matches_reference():
+    """Levels are 2^m, capped at 8, stopping while the shortest dimension
+    keeps >= min_level_pixels px (fuse.py:158-164: num = min(max_levels,
+    floor(log2(min(shape))) - log2(min_px)))."""
+    from homonim_spark.tiffio import build_overviews
+    img = np.zeros((1, 1100, 900), dtype=np.float32)
+    assert [o.shape for o in build_overviews(img)] == [(1, 550, 450)]
+    assert [o.shape[1:] for o in build_overviews(img, min_level_pixels=64)] \
+        == [(550, 450), (275, 225), (138, 113)]
+    # below the rule entirely -> no levels (and the writer emits one IFD)
+    assert build_overviews(np.zeros((1, 300, 300), np.float32)) == []
+    # max_num_levels cap
+    big = np.zeros((1, 4096, 4096), np.uint8)
+    assert len(build_overviews(big, min_level_pixels=1)) == 8
+
+
+def test_overview_average_is_masked_block_mean():
+    """Each overview pixel is the mean of VALID source px in its 2^m-block
+    footprint (average resampling with nodata), all-invalid -> nodata."""
+    from homonim_spark.tiffio import build_overviews
+    img = np.arange(64, dtype=np.float32).reshape(1, 8, 8)
+    img[0, :2, :2] = np.nan          # one fully-invalid 2x2 block
+    img[0, 2, 2] = np.nan            # one partially-invalid block
+    (lv1,) = build_overviews(img, min_level_pixels=4)
+    assert lv1.shape == (1, 4, 4)
+    assert np.isnan(lv1[0, 0, 0])
+    # partial block: mean of the 3 valid values
+    assert lv1[0, 1, 1] == pytest.approx((19 + 26 + 27) / 3)
+    assert lv1[0, 3, 3] == pytest.approx((54 + 55 + 62 + 63) / 4)
+    # explicit-nodata integer variant
+    ii = np.full((1, 8, 8), 7, dtype=np.uint16)
+    ii[0, :2, :2] = 0
+    (ilv,) = build_overviews(ii, nodata=0, min_level_pixels=4)
+    assert ilv.dtype == np.uint16
+    assert ilv[0, 0, 0] == 0 and ilv[0, 1, 1] == 7
+
+
+def test_overview_ifd_chain_roundtrip(tmp_path):
+    """write_gtiff(overviews=...) chains reduced-resolution IFDs after the
+    primary; every level reads back bit-exact via read_gtiff(ifd=n), geo
+    tags stay on the primary only, and NewSubfileType=1 marks overviews."""
+    from homonim_spark.tiffio import build_overviews
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 50, (2, 1100, 900)).astype(np.float32)
+    img[0, 5:60, 5:60] = np.nan
+    ovs = build_overviews(img, min_level_pixels=64)
+    path = str(tmp_path / "ovw.tif")
+    write_gtiff(path, img, transform=(1, 0, 0, 0, -1, 1100), tile=(256, 256),
+                compress="deflate", epsg=32633, overviews=ovs)
+    g0 = read_gtiff(path)
+    np.testing.assert_array_equal(g0.data, img)
+    assert g0.n_overviews == len(ovs) == 3
+    assert g0.crs == "EPSG:32633" and g0.transform is not None
+    for n, ov in enumerate(ovs, start=1):
+        gn = read_gtiff(path, ifd=n)
+        np.testing.assert_array_equal(gn.data, ov)
+        assert gn.crs is None and gn.transform is None  # primary-only tags
+    with pytest.raises(ValueError, match="chain ended"):
+        read_gtiff(path, ifd=len(ovs) + 1)
+    # the windowed (meta/decode_window) path keeps reading the PRIMARY image
+    meta = read_gtiff_meta(path)
+    assert (meta.height, meta.width) == (1100, 900)
+    np.testing.assert_array_equal(decode_window(path, meta, 100, 400),
+                                  img[:, 100:400])
+
+
+@pytest.mark.parametrize("bigtiff,byteorder,compress,predictor", [
+    (False, "<", "lzw", 2), (True, ">", "packbits", 1),
+])
+def test_overview_chain_codec_matrix(tmp_path, bigtiff, byteorder,
+                                     compress, predictor):
+    """The IFD chain survives the same (format x byte order x codec)
+    matrix as single-IFD files."""
+    from homonim_spark.tiffio import build_overviews
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 255, (1, 600, 520))).astype(np.uint8)
+    img[0, :80, :80] = 0
+    ovs = build_overviews(img, nodata=0, min_level_pixels=64)
+    assert len(ovs) == 3
+    path = str(tmp_path / "ovw_mx.tif")
+    write_gtiff(path, img, nodata=0, rows_per_strip=48, compress=compress,
+                predictor=predictor, bigtiff=bigtiff, byteorder=byteorder,
+                overviews=ovs)
+    assert read_gtiff(path).n_overviews == 3
+    for n, ov in enumerate(ovs, start=1):
+        np.testing.assert_array_equal(read_gtiff(path, ifd=n).data, ov)
