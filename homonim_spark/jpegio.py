@@ -1,0 +1,566 @@
+"""Baseline JPEG codec in pure numpy — TIFF compression 7 support.
+
+The reference reads JPEG-compressed GeoTIFFs through GDAL/libjpeg
+(``/root/reference/homonim/raster_array.py:129-199``); this container has
+no JPEG library, so like the LZW/deflate/PNG codecs the engine carries its
+own implementation.  Scope is the part of ITU-T T.81 that raster files
+actually use:
+
+- **decode**: baseline sequential DCT (SOF0, and SOF1 extended-sequential
+  8-bit), Huffman entropy coding, 1-4 components, arbitrary sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 chroma subsampling), restart intervals,
+  and TIFF's abbreviated-stream form where DQT/DHT live in the JPEGTables
+  tag (347) and per-tile streams carry only SOF/SOS.
+- **encode**: baseline 8-bit, 4:4:4 (every component full resolution) or
+  4:2:0 YCbCr for 3-band imagery, quality-scaled Annex K quantization
+  tables, Annex K luminance Huffman tables for all components, optional
+  restart intervals, and the abbreviated tables/scan split for JPEGTables.
+
+Not supported (loudly): progressive (SOF2), arithmetic coding, 12-bit
+precision, hierarchical modes — none appear in GDAL-written GeoTIFFs by
+default.
+
+The Huffman symbol loop is interpreted Python over a 16-bit lookup table;
+the numeric heavy lifting (dequantize + IDCT / FDCT + quantize) is one
+einsum over ALL blocks of a component.  Inside Spark this always runs in
+executor tasks (one tile/strip per payload), so throughput scales with
+partitions like every other codec here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan: raster index of the i-th coefficient in zigzag order
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 quantization tables (raster order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 luminance Huffman tables (the encoder uses these for every
+# component — legal, and what makes the encoder need no table derivation)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_x = np.arange(8)
+_A = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
+_A[0] *= 1 / np.sqrt(2)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) frequency blocks -> (n, 8, 8) spatial, one einsum."""
+    return np.einsum("ux,nuv,vy->nxy", _A, coefs, _A, optimize=True)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) frequency, one einsum."""
+    return np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
+
+
+def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 100 -> all-ones (near-lossless), 50 -> Annex K."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _HuffTable:
+    """Canonical Huffman table with a 16-bit peek LUT for decode."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.bits, self.vals = list(bits), list(vals)
+        self.enc: dict[int, tuple[int, int]] = {}   # symbol -> (code, length)
+        lut_sym = np.zeros(1 << 16, dtype=np.int16)
+        lut_len = np.zeros(1 << 16, dtype=np.int8)
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                sym = vals[k]; k += 1
+                self.enc[sym] = (code, ln)
+                lo = code << (16 - ln)
+                lut_sym[lo: lo + (1 << (16 - ln))] = sym
+                lut_len[lo: lo + (1 << (16 - ln))] = ln
+                code += 1
+            code <<= 1
+        self.lut_sym, self.lut_len = lut_sym, lut_len
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes (pads with 1s —
+    T.81 F.2.2.5 fill bits)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 48:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill()
+        return (self.buf >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int):
+        self.n -= k
+        self.buf &= (1 << self.n) - 1
+
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        v = (self.buf >> (self.n - k)) & ((1 << k) - 1)
+        self.skip(k)
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map a SIZE-bit magnitude to its signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _unstuff(seg: bytes) -> bytes:
+    return seg.replace(b"\xff\x00", b"\xff")
+
+
+class _JpegState:
+    """Tables + frame state, shared between a JPEGTables prefix stream and
+    the per-tile scan stream (TIFF abbreviated format)."""
+
+    def __init__(self):
+        self.quant: dict[int, np.ndarray] = {}       # Tq -> 64 raster-order
+        self.huff_dc: dict[int, _HuffTable] = {}
+        self.huff_ac: dict[int, _HuffTable] = {}
+        self.restart = 0
+        self.frame = None   # (h, w, comps) with comps = [(id, hs, vs, tq)]
+        self.adobe_transform = None
+
+
+def _parse_segments(buf: bytes, st: _JpegState):
+    """Walk marker segments; on SOS return (scan_comps, entropy_bytes)."""
+    i = 0
+    if buf[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    i = 2
+    while i < len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = buf[i + 1]
+        i += 2
+        if marker == 0xD9:          # EOI
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                # standalone
+        (ln,) = struct.unpack_from(">H", buf, i)
+        seg = buf[i + 2: i + ln]
+        i += ln
+        if marker == 0xDB:          # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    q = np.frombuffer(seg[j: j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    q = np.frombuffer(seg[j: j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                st.quant[tq] = q   # kept in zigzag order, as stored
+        elif marker == 0xC4:        # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1: j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17: j + 17 + nv])
+                (st.huff_ac if tc else st.huff_dc)[th] = _HuffTable(bits, vals)
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (got {prec})")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            st.frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker 0x{marker:02x}; only "
+                "baseline/extended-sequential Huffman is implemented)")
+        elif marker == 0xDD:        # DRI
+            (st.restart,) = struct.unpack(">H", seg)
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            st.adobe_transform = seg[11]
+        elif marker == 0xDA:        # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            # entropy data runs to the next non-RST marker
+            j = i
+            while j < len(buf) - 1:
+                if buf[j] == 0xFF and buf[j + 1] not in (0x00,) \
+                        and not (0xD0 <= buf[j + 1] <= 0xD7):
+                    break
+                j += 1
+            return scan, buf[i:j]
+    return None
+
+
+def decode_jpeg(stream: bytes, tables: bytes | None = None) -> np.ndarray:
+    """Decode a baseline JPEG to ``(h, w, ncomp)`` uint8 (raw component
+    values — no color transform; TIFF photometric decides that upstream).
+    ``tables`` is an optional abbreviated tables-only stream (the TIFF
+    JPEGTables tag 347) parsed first for DQT/DHT/DRI."""
+    st = _JpegState()
+    if tables:
+        _parse_segments(tables, st)
+    res = _parse_segments(stream, st)
+    if res is None or st.frame is None:
+        raise ValueError("JPEG stream has no SOS/SOF")
+    scan, entropy = res
+    h, w, comps = st.frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+
+    # split on restart markers, unstuff each interval
+    intervals = []
+    j0 = 0
+    k = 0
+    while k < len(entropy) - 1:
+        if entropy[k] == 0xFF and 0xD0 <= entropy[k + 1] <= 0xD7:
+            intervals.append(_unstuff(entropy[j0:k]))
+            j0 = k + 2
+            k += 2
+        else:
+            k += 1
+    intervals.append(_unstuff(entropy[j0:]))
+
+    # per scan component: collected zigzag coefficient rows
+    coef = {cs: np.zeros(((mcuy * vs) * (mcux * hs), 64), dtype=np.int64)
+            for cs, _, _ in scan
+            for hs, vs, _ in [by_id[cs]]}
+    mcu_i = 0
+    reader = _BitReader(intervals[0])
+    seg_i = 0
+    dc_pred = {cs: 0 for cs, _, _ in scan}
+    restart = st.restart or n_mcu
+    for mcu_i in range(n_mcu):
+        if mcu_i and st.restart and mcu_i % restart == 0:
+            seg_i += 1
+            reader = _BitReader(intervals[seg_i])
+            dc_pred = {cs: 0 for cs, _, _ in scan}
+        my, mx = divmod(mcu_i, mcux)
+        for cs, td, ta in scan:
+            hs, vs, _ = by_id[cs]
+            hdc, hac = st.huff_dc[td], st.huff_ac[ta]
+            for v in range(vs):
+                for u in range(hs):
+                    row = np.zeros(64, dtype=np.int64)
+                    p = reader.peek16()
+                    size = int(hdc.lut_sym[p])
+                    ln = int(hdc.lut_len[p])
+                    if ln == 0:
+                        raise ValueError("invalid DC Huffman code")
+                    reader.skip(ln)
+                    diff = _extend(reader.get(size), size) if size else 0
+                    dc_pred[cs] += diff
+                    row[0] = dc_pred[cs]
+                    kk = 1
+                    while kk < 64:
+                        p = reader.peek16()
+                        sym = int(hac.lut_sym[p])
+                        ln = int(hac.lut_len[p])
+                        if ln == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        reader.skip(ln)
+                        if sym == 0x00:       # EOB
+                            break
+                        run, size = sym >> 4, sym & 15
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            kk += 16          # ZRL
+                            continue
+                        kk += run
+                        if kk > 63:
+                            raise ValueError("AC run overflows block")
+                        row[kk] = _extend(reader.get(size), size)
+                        kk += 1
+                    bw = mcux * hs
+                    coef[cs][(my * vs + v) * bw + (mx * hs + u)] = row
+    # dequantize + IDCT per component, then upsample & crop
+    planes = []
+    for cid, hs, vs, tq in comps:
+        rows = coef[cid]
+        q = st.quant[tq]
+        deq = np.zeros((len(rows), 64), dtype=np.float64)
+        deq[:, ZIGZAG] = rows * q                    # de-zigzag + dequant
+        spat = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
+        bw = mcux * hs
+        bh = mcuy * vs
+        plane = spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    out = np.stack(planes, axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def ycc_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB (photometric 6 TIFFs, GDAL's JPEG default)."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    ycc = np.stack([0.299 * r + 0.587 * g + 0.114 * b,
+                    128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                    128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b], axis=-1)
+    return np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)      # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1 bits
+
+
+def _size_of(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _tables_segments(quants: list[tuple[int, np.ndarray]],
+                     restart: int) -> bytes:
+    """DQT (+DRI) + DHT segments shared by full and abbreviated streams."""
+    out = bytearray()
+    for tq, q in quants:   # q arrives raster-order; DQT stores zigzag
+        out += struct.pack(">HH", 0xFFDB, 67) + bytes([tq]) \
+            + bytes(int(x) for x in q[ZIGZAG])
+    if restart:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart)
+    for tc, bits, vals in ((0, DC_LUMA_BITS, DC_LUMA_VALS),
+                           (1, AC_LUMA_BITS, AC_LUMA_VALS)):
+        out += struct.pack(">HH", 0xFFC4, 19 + len(vals)) \
+            + bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    return bytes(out)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    omit_tables: bool = False,
+) -> bytes:
+    """Encode ``(h, w)`` or ``(h, w, ncomp)`` uint8 as baseline JPEG.
+
+    ``subsample`` (3-component only) stores components 2/3 at half
+    resolution (4:2:0) — the caller converts color spaces (see
+    :func:`rgb_to_ycc`); without it every component is coded 4:4:4 as-is.
+    ``omit_tables`` emits an abbreviated stream (no DQT/DHT/DRI) for the
+    TIFF JPEGTables layout — pair with :func:`jpeg_tables_stream`."""
+    if img.dtype != np.uint8:
+        raise ValueError("baseline JPEG is 8-bit: encode uint8 data")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc > 4:
+        raise ValueError("JPEG supports at most 4 components")
+    q_luma = scaled_quant(QUANT_LUMA, quality)
+    q_chroma = scaled_quant(QUANT_CHROMA, quality)
+    use_chroma_q = subsample and nc == 3
+    dc_t = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_t = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    if subsample and nc != 3:
+        raise ValueError("subsample requires exactly 3 components")
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component quantized zigzag blocks, MCU-padded (edge-replicated)
+    comp_rows = []
+    for c in range(nc):
+        hs, vs = samp[c]
+        plane = img[:, :, c].astype(np.float64)
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = ((h + fy - 1) // fy) * fy
+            pw = ((w + fx - 1) // fx) * fx
+            pp = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        plane = np.pad(plane, ((0, th - plane.shape[0]),
+                               (0, tw - plane.shape[1])), mode="edge")
+        blocks = plane.reshape(th // 8, 8, tw // 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        freq = _fdct_blocks(blocks)
+        qt = q_chroma if (use_chroma_q and c > 0) else q_luma
+        zz = freq.reshape(-1, 64)[:, ZIGZAG]
+        qz = qt[ZIGZAG].astype(np.float64)   # zigzag order, like the coefs
+        comp_rows.append(np.rint(zz / qz).astype(np.int64))
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+    quants = [(0, q_luma[:])]
+    if use_chroma_q:
+        quants.append((1, q_chroma[:]))
+    if not omit_tables:
+        out += _tables_segments(quants, restart_interval)
+    sof = bytearray(struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * nc, 8, h, w, nc))
+    for c in range(nc):
+        tq = 1 if (use_chroma_q and c > 0) else 0
+        sof += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], tq])
+    out += sof
+    sos = bytearray(struct.pack(">HHB", 0xFFDA, 6 + 2 * nc, nc))
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])        # DC table 0 / AC table 0
+    sos += b"\x00\x3f\x00"
+    out += sos
+
+    wtr = _BitWriter()
+    dc_pred = [0] * nc
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            out += wtr.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            wtr = _BitWriter()
+            dc_pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for c in range(nc):
+            hs, vs = samp[c]
+            bw = mcux * hs
+            for v in range(vs):
+                for u in range(hs):
+                    row = comp_rows[c][(my * vs + v) * bw + (mx * hs + u)]
+                    diff = int(row[0]) - dc_pred[c]
+                    dc_pred[c] = int(row[0])
+                    sz = _size_of(diff)
+                    code, ln = dc_t.enc[sz]
+                    wtr.put(code, ln)
+                    if sz:
+                        wtr.put(diff if diff > 0 else diff + (1 << sz) - 1, sz)
+                    nz = np.nonzero(row[1:])[0]
+                    last = 0
+                    for idx in nz:
+                        run = int(idx) - last
+                        last = int(idx) + 1
+                        while run > 15:
+                            code, ln = ac_t.enc[0xF0]
+                            wtr.put(code, ln)
+                            run -= 16
+                        a = int(row[1 + idx])
+                        sz = _size_of(a)
+                        code, ln = ac_t.enc[(run << 4) | sz]
+                        wtr.put(code, ln)
+                        wtr.put(a if a > 0 else a + (1 << sz) - 1, sz)
+                    if last < 63:
+                        code, ln = ac_t.enc[0x00]
+                        wtr.put(code, ln)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_tables_stream(quality: int = 90, chroma: bool = False,
+                       restart_interval: int = 0) -> bytes:
+    """Abbreviated tables-only stream for the TIFF JPEGTables tag (347):
+    SOI + DQT(+DRI) + DHT + EOI, matching :func:`encode_jpeg` with
+    ``omit_tables=True`` at the same settings."""
+    quants = [(0, scaled_quant(QUANT_LUMA, quality))]
+    if chroma:
+        quants.append((1, scaled_quant(QUANT_CHROMA, quality)))
+    return b"\xff\xd8" + _tables_segments(quants, restart_interval) \
+        + b"\xff\xd9"

@@ -100,7 +100,7 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompressor(comp: int):
+def _decompressor(comp: int, jpeg_tables: bytes | None = None):
     if comp == 1:
         return lambda b: b
     if comp in (8, 32946):
@@ -109,8 +109,14 @@ def _decompressor(comp: int):
         return _lzw_decode
     if comp == 32773:
         return _packbits_decode
+    if comp == 7:
+        # each tile/strip is a (possibly abbreviated) JPEG stream; decoded
+        # pixels come back in the same chunky (rows, w, spp) raster order
+        # the other codecs produce, so the downstream reshape is shared
+        from homonim_spark.jpegio import decode_jpeg
+        return lambda b: decode_jpeg(b, jpeg_tables).tobytes()
     raise ValueError(
-        f"unsupported compression {comp} (need none/deflate/LZW/PackBits)")
+        f"unsupported compression {comp} (need none/deflate/LZW/PackBits/JPEG)")
 
 
 def _undo_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
@@ -252,6 +258,8 @@ class GTiffMeta:
     crs: str | None = None
     predictor: int = 1              # tag 317: 2 = horizontal differencing
     bo: str = "<"                   # sample byte order: "<" (II) or ">" (MM)
+    jpeg_tables: bytes | None = None  # tag 347: abbreviated DQT/DHT stream
+    photometric: int = 1            # tag 262: 6 = YCbCr (JPEG color)
 
 
 class _HttpRangeFile:
@@ -394,6 +402,10 @@ def read_gtiff_meta(path: str) -> GTiffMeta:
         sfmt = g(339, [1])[0]
         _decompressor(comp)  # validate early, at meta-parse time
         predictor = g(317, [1])[0]
+        jpeg_tables = g(347) if comp == 7 else None
+        if isinstance(jpeg_tables, list):   # UNDEFINED read as byte list
+            jpeg_tables = bytes(jpeg_tables)
+        photometric = g(262, [1])[0]
         dtype = f"{_SAMPLE_KIND[sfmt]}{bits // 8}"
         tiled = 324 in tags
         if tiled:
@@ -418,6 +430,7 @@ def read_gtiff_meta(path: str) -> GTiffMeta:
             offsets=offsets, counts=counts, nodata=nodata,
             transform=transform, crs=_parse_geokeys(g(34735)),
             predictor=predictor, bo=bo,
+            jpeg_tables=jpeg_tables, photometric=photometric,
         )
 
 
@@ -427,7 +440,7 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
     independent of file size.  Works over ``http(s)://`` URLs via range
     requests (``_open_raster``)."""
     dtype = np.dtype(meta.bo + meta.dtype)
-    decomp = _decompressor(meta.comp)
+    decomp = _decompressor(meta.comp, meta.jpeg_tables)
     out = np.zeros((meta.spp, y1 - y0, meta.width), dtype=dtype.newbyteorder("="))
     bx = (meta.width + meta.block_w - 1) // meta.block_w
     by = (meta.height + meta.block_h - 1) // meta.block_h
@@ -463,6 +476,10 @@ def decode_window(path: str, meta: GTiffMeta, y0: int, y1: int) -> np.ndarray:
                     for b in range(bpb):
                         band = plane * bpb + b if meta.planar == 2 else b
                         out[band, r0 - y0: r1 - y0, x0: x1] = sub[:, :, b]
+    if meta.photometric == 6 and meta.comp == 7 and meta.spp == 3:
+        # JPEG-in-TIFF stores YCbCr (GDAL default); present RGB like GDAL
+        from homonim_spark.jpegio import ycc_to_rgb
+        out = ycc_to_rgb(out.transpose(1, 2, 0)).transpose(2, 0, 1)
     return out
 
 
@@ -539,7 +556,8 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-_COMP_CODE = {None: 1, "none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}
+_COMP_CODE = {None: 1, "none": 1, "deflate": 8, "lzw": 5, "packbits": 32773,
+              "jpeg": 7}
 
 
 def _apply_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
@@ -570,6 +588,7 @@ def _ifd_segment(
     bigtiff: bool = False,
     byteorder: str = "<",
     subfile_type: int | None = None,
+    jpeg_quality: int = 90,
 ) -> tuple[bytearray, int]:
     """Serialize ONE IFD 'segment' — ``IFD | out-of-line tag data | blocks``
     — anchored at absolute file offset ``seg_off`` (all stored offsets are
@@ -587,8 +606,13 @@ def _ifd_segment(
     bits = dt.itemsize * 8
     comp_name = {True: "deflate", False: None}.get(compress, compress)
     comp_code = _COMP_CODE[comp_name]
+    if comp_code == 7:
+        if dt != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if predictor != 1:
+            raise ValueError("JPEG compression excludes a TIFF predictor")
     enc = {1: lambda b: b, 8: zlib.compress, 5: _lzw_encode,
-           32773: _packbits_encode}[comp_code]
+           32773: _packbits_encode, 7: None}[comp_code]
 
     blocks = []   # ndarrays of (rows, block_w, spp)
     if tile:
@@ -609,9 +633,18 @@ def _ifd_segment(
             blocks.append(np.moveaxis(data[:, j * rps: (j + 1) * rps], 0, -1))
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' (II) or '>' (MM)")
-    payload = [enc(_apply_predictor(b, predictor)
-                   .astype(dt.newbyteorder(byteorder), copy=False).tobytes())
-               for b in blocks]
+    if comp_code == 7:
+        # each tile/strip is a standalone baseline JPEG stream (no
+        # JPEGTables split on write — self-describing blocks keep windowed
+        # reads independent of any shared segment)
+        from homonim_spark.jpegio import encode_jpeg
+        payload = [encode_jpeg(np.ascontiguousarray(b), quality=jpeg_quality)
+                   for b in blocks]
+    else:
+        payload = [enc(_apply_predictor(b, predictor)
+                       .astype(dt.newbyteorder(byteorder), copy=False)
+                       .tobytes())
+                   for b in blocks]
 
     entries = []  # (tag, type, count, values)
     def add(tag, typ, vals):
@@ -622,7 +655,8 @@ def _ifd_segment(
     add(256, 4, w); add(257, 4, h)
     add(258, 3, [bits] * spp)
     add(259, 3, comp_code)
-    add(262, 3, 1)
+    # JPEG 3-band is stored as-is (no color transform): photometric RGB
+    add(262, 3, 2 if (comp_code == 7 and spp == 3) else 1)
     add(277, 3, spp)
     add(284, 3, 1)
     add(339, 3, [sfmt] * spp)
@@ -783,6 +817,7 @@ def write_gtiff(
     bigtiff: bool = False,
     byteorder: str = "<",
     overviews: "list[np.ndarray] | None" = None,
+    jpeg_quality: int = 90,
 ) -> None:
     """Minimal TIFF writer (the read side's inverse): chunky planar,
     raw/deflate/LZW/PackBits, optional horizontal-differencing predictor,
@@ -812,7 +847,8 @@ def write_gtiff(
             tile=tile, compress=compress,
             epsg=epsg if i == 0 else None,
             rows_per_strip=rows_per_strip, predictor=predictor,
-            bigtiff=bigtiff, byteorder=bo, subfile_type=sft)
+            bigtiff=bigtiff, byteorder=bo, subfile_type=sft,
+            jpeg_quality=jpeg_quality)
         segs.append((seg, next_pos, pos))
         pos += len(seg)
     ofmt = "Q" if bigtiff else "I"
@@ -897,7 +933,10 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
     sfmt = g(339, [1])[0]
     dtype = np.dtype(f"{bo}{_SAMPLE_KIND[sfmt]}{bits // 8}")
 
-    decomp = _decompressor(comp)
+    jpeg_tables = g(347) if comp == 7 else None
+    if isinstance(jpeg_tables, list):
+        jpeg_tables = bytes(jpeg_tables)
+    decomp = _decompressor(comp, jpeg_tables)
     predictor = g(317, [1])[0]
 
     out = np.zeros((spp, height, width), dtype=dtype.newbyteorder("="))
@@ -938,6 +977,10 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
             block = raw[: h * width * bpb].reshape(h, width, bpb)
             paint(_undo_predictor(block, predictor), plane, j * rps, 0)
 
+    if g(262, [1])[0] == 6 and comp == 7 and spp == 3:
+        # JPEG-in-TIFF stores YCbCr (GDAL default); present RGB like GDAL
+        from homonim_spark.jpegio import ycc_to_rgb
+        out = ycc_to_rgb(out.transpose(1, 2, 0)).transpose(2, 0, 1)
     nodata = None
     nd = g(42113)
     if nd is not None:
