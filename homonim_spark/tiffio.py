@@ -375,15 +375,26 @@ def _tag_value_f(f, t, bo: str, big: bool = False):
     return list(struct.unpack(bo + str(cnt) + fmt, data))
 
 
-def read_gtiff_meta(path: str) -> GTiffMeta:
+def read_gtiff_meta(path: str, ifd: int = 0) -> GTiffMeta:
     """Parse ONLY the IFD of a GeoTIFF — a few KB of reads regardless of
     file size (for ``http(s)://`` URLs they ARE range GETs of the same few
-    KB — see ``_HttpRangeFile``).  Classic or BigTIFF, II or MM."""
+    KB — see ``_HttpRangeFile``).  Classic or BigTIFF, II or MM.  ``ifd``
+    selects a chained image (n ≥ 1 = internal overview), so windowed reads
+    work on pyramid levels too."""
     with _open_raster(path) as f:
         bo, big, ifd_off = _parse_tiff_header(f.read(16))
         cfmt, esz, inline = ("Q", 20, 8) if big else ("H", 12, 4)
+        csz = struct.calcsize(cfmt)
+        nfmt = bo + ("Q" if big else "I")
+        for _ in range(ifd):
+            f.seek(ifd_off)
+            (n,) = struct.unpack(bo + cfmt, f.read(csz))
+            f.seek(ifd_off + csz + n * esz)
+            (ifd_off,) = struct.unpack(nfmt, f.read(8 if big else 4))
+            if not ifd_off:
+                raise ValueError(f"requested IFD {ifd} but chain ended")
         f.seek(ifd_off)
-        (n,) = struct.unpack(bo + cfmt, f.read(struct.calcsize(cfmt)))
+        (n,) = struct.unpack(bo + cfmt, f.read(csz))
         entries = f.read(n * esz + (8 if big else 4))
         tags = {}
         for i in range(n):

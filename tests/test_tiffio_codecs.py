@@ -422,3 +422,21 @@ def test_overview_chain_codec_matrix(tmp_path, bigtiff, byteorder,
     assert read_gtiff(path).n_overviews == 3
     for n, ov in enumerate(ovs, start=1):
         np.testing.assert_array_equal(read_gtiff(path, ifd=n).data, ov)
+
+
+def test_windowed_reads_of_overview_levels(tmp_path):
+    """read_gtiff_meta(ifd=n) + decode_window serve pyramid levels with
+    the same bounded block-range reads as the primary image."""
+    from homonim_spark.tiffio import build_overviews
+    img = (np.arange(600 * 520, dtype=np.int64) % 251) \
+        .astype(np.uint8).reshape(1, 600, 520)
+    ovs = build_overviews(img, min_level_pixels=64)
+    path = str(tmp_path / "mw.tif")
+    write_gtiff(path, img, tile=(64, 64), compress="lzw", overviews=ovs)
+    for n, ov in enumerate(ovs, start=1):
+        m = read_gtiff_meta(path, ifd=n)
+        assert (m.height, m.width) == ov.shape[1:]
+        np.testing.assert_array_equal(
+            decode_window(path, m, 3, m.height - 2), ov[:, 3: m.height - 2])
+    with pytest.raises(ValueError, match="chain ended"):
+        read_gtiff_meta(path, ifd=len(ovs) + 1)
