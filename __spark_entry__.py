@@ -26,6 +26,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`_t` but rebalanced: the driver tables are single parquet
+    files with ONE row group (unsplittable), so scans of the small tables
+    run on a single core; for queries whose per-row compute dominates the
+    scan (regex profiling, md5, GEMM), repartition right after the read
+    (optimization guide §2.5 — adaptive, no-op on well-split inputs)."""
+    from homonim_spark.partitioning import rebalance
+    return rebalance(_t(spark, sf_dir, name))
+
+
 @functools.lru_cache(maxsize=4)
 def _raster_tables(sf_key: str):
     """Deterministic synthetic interleaved-documents fixture (independent of
@@ -335,12 +345,22 @@ def q_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    # Join order rewritten for selectivity (guide §3): the ASIA filter keeps
+    # ~1/5 of customers, so reduce the dimension side FIRST and attach the
+    # fact table last — the lineitem side probes ONE small hash relation
+    # (ASIA orders) instead of chaining through a full-orders build; the
+    # broadcast build shrinks 5x and the region filter prunes before any
+    # fact-side work.  Inner equi-joins commute: result proven identical.
+    asia_c = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    o_asia = o.join(F.broadcast(asia_c), o["o_custkey"] == asia_c["c_custkey"]) \
+        .select("o_orderkey", "n_name")
+    return (
+        li.join(F.broadcast(o_asia), li["l_orderkey"] == o_asia["o_orderkey"])
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -1145,9 +1165,14 @@ FROM embeddings WHERE vec_id < 64 ORDER BY media_ref
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort BELOW the profile: the range exchange both redistributes the
+    # single-row-group scan across all cores and avoids the orderBy-on-top
+    # form, whose range-boundary sampling recomputes the whole profile
+    # projection a second time (guide §2.4 — establish partitioning once);
+    # projections preserve the sort, so the result order is identical
     from homonim_spark.operators.textops import text_profile
     docs = _t(spark, sf_dir, "documents")
-    return text_profile(docs).orderBy("doc_id")
+    return text_profile(docs.orderBy("doc_id"))
 
 
 ORACLE_TEXT_PROFILE = r"""
@@ -1197,7 +1222,7 @@ ORACLE_SPAN_TEXT_PROFILE = (
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary pass: top-50 words by document frequency."""
     from homonim_spark.operators.textops import vocabulary_stats
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return vocabulary_stats(docs, top_k=50)
 
 
@@ -1232,7 +1257,7 @@ FROM documents GROUP BY 1 ORDER BY bucket
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups over all docs (md5 is bit-identical in DuckDB)."""
     from homonim_spark.operators.textops import fingerprint
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return (
         docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")

@@ -568,8 +568,9 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
             process_chunk(cur_key[0], cur_key[1], cur_key[2], buf, out)
             yield pd.DataFrame(out)
 
-    keyed = routed.repartition("image_id", "band", "chunk_id") \
-                  .sortWithinPartitions("image_id", "band", "chunk_id")
+    from homonim_spark.partitioning import pinned_repartition
+    keyed = pinned_repartition(routed, "image_id", "band", "chunk_id") \
+        .sortWithinPartitions("image_id", "band", "chunk_id")
     return keyed.mapInPandas(stream_chunks, schema=FUSED_TILE_SCHEMA)
 
 
@@ -703,8 +704,9 @@ def fuse_blocks(pieces: DataFrame, cfg: FuseConfig) -> DataFrame:
             process_group(cur_key[0], cur_key[1], cur_key[2], buf, out)
             yield pd.DataFrame(out)
 
-    keyed = pieces.repartition("image_id", "band", "chunk_id") \
-                  .sortWithinPartitions("image_id", "band", "chunk_id")
+    from homonim_spark.partitioning import pinned_repartition
+    keyed = pinned_repartition(pieces, "image_id", "band", "chunk_id") \
+        .sortWithinPartitions("image_id", "band", "chunk_id")
     return keyed.mapInPandas(stream_groups, schema=FUSED_TILE_SCHEMA)
 
 

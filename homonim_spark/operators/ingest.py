@@ -320,8 +320,9 @@ def regrid_tiles(tiles: DataFrame, res: int, tile_px: int,
             flush(out)
             yield pd.DataFrame(out)
 
-    keyed = frags.repartition("image_id", "role", "band", "cell_id") \
-                 .sortWithinPartitions("image_id", "role", "band", "cell_id")
+    from homonim_spark.partitioning import pinned_repartition
+    keyed = pinned_repartition(frags, "image_id", "role", "band", "cell_id") \
+        .sortWithinPartitions("image_id", "role", "band", "cell_id")
     return keyed.mapInPandas(mosaic, schema=out_schema)
 
 
@@ -415,8 +416,10 @@ def gtiff_window_rows(spark, paths: list, role: str,
                                  "y1": min(meta.height, b + 1)})
             yield pd.DataFrame(rows, columns=["path", "y0", "y1"])
 
-    units = (paths_df.mapInPandas(plan, schema="path string, y0 int, y1 int")
-             .repartition("path", "y0"))
+    from homonim_spark.partitioning import pinned_repartition
+    units = pinned_repartition(
+        paths_df.mapInPandas(plan, schema="path string, y0 int, y1 int"),
+        "path", "y0")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         metas = {}

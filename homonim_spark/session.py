@@ -31,12 +31,32 @@ def get_spark(
         # the north_rule's explicit skew handling rides on this plus salting
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalescing merges shuffle partitions by BYTES, but the engine's
-        # pandas-UDF group stages are CPU-bound per byte — bytes-based
-        # coalescing starves cores (measured 4-6x slowdown on the fuse
-        # exchange). Skew-join splitting stays on; partition counts are
-        # sized explicitly via shuffle.partitions instead.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # Broadcast the side that fits (guide §3.1): the default 10 MB
+        # threshold misses the engine's dimension tables and vector corpora
+        # (e.g. a 20k×64-dim embedding corpus estimates ~11 MB), forcing
+        # sort-merge joins whose shuffles dwarf a one-shot broadcast.  64 MB
+        # is conservative against the 8 GB broadcast cap and any executor
+        # profile that can run this engine's Arrow pipelines; joins whose
+        # build side outgrows it (the 100 TB case) degrade gracefully to
+        # the shuffled plans.  Parameterised for cluster tuning.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+        # Coalescing merges shuffle partitions by BYTES.  The engine's
+        # pandas-UDF group stages are CPU-bound per byte and bytes-based
+        # coalescing starves cores there (measured 4-6x on the fuse
+        # exchange), so those exchanges pin an explicit partition count
+        # (partitioning.pinned_repartition), which opts them out.  With the
+        # hot exchanges pinned, coalescing is ON for the relational side:
+        # metadata-scale shuffles at 4x-cores partitions paid ~3.5x in
+        # per-task/per-block overhead (dedup_exact at sf1.0: 2.04 s @128
+        # partitions vs 0.58 s @32 — round-6 measurement), exactly the
+        # guide §2.2 small-block regime.  parallelismFirst (default true)
+        # keeps parallelism near defaultParallelism rather than the 256 MB
+        # advisory size; the 64k floor stops over-coalescing of small-byte
+        # but CPU-heavy stages (regex profiling: ~0.5 MB/partition).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         # Arrow is the only Python<->JVM path the engine uses.
         # Batch size: tile rows are ~40-300 KB of binary payload, so the
         # 10k default (and even 2048) builds multi-hundred-MB Arrow batches
