@@ -279,24 +279,32 @@ def build_overviews(
     is one level, lazily defined, one 4-rows-per-group shuffle per level;
     images whose rule stops earlier simply drop out of deeper levels."""
     row, col = grid.cell_row_col_expr(F.col("cell_id"))
-    ext = (tiles.groupBy("image_id")
+    # Per-image level counts COMPUTED AS A COLUMN — no image list ever
+    # reaches the driver (at 100 TB the former driver round-trip was
+    # O(n_images) rows pulled plus O(n_images) rebuilt per level).  The rule
+    # max(0, min(max_levels, floor(log2(min_shape)) - log2(min_px))) is
+    # evaluated in exact integer math: floor(log2(n)) == length(bin(n)) - 1
+    # for n ≥ 1, so no float-log boundary drift vs the numpy driver rule.
+    min_shape = F.least(F.col("ch"), F.col("cw")) * F.lit(tile_px)
+    max_ovw = F.length(F.bin(min_shape)) - F.lit(1)
+    log2_min_px = int(np.log2(min_px))
+    n_levels_col = F.when(
+        min_shape < 1, F.lit(0)
+    ).otherwise(F.greatest(F.lit(0), F.least(F.lit(int(max_levels)),
+                                             max_ovw - F.lit(log2_min_px))))
+    lvl = (tiles.groupBy("image_id")
            .agg((F.max(row) - F.min(row) + 1).alias("ch"),
                 (F.max(col) - F.min(col) + 1).alias("cw"))
-           .collect())
-    n_levels = {r["image_id"]: overview_level_count(
-        (r["ch"] * tile_px, r["cw"] * tile_px), max_levels, min_px)
-        for r in ext}
-    total = max(n_levels.values(), default=0)
+           .select("image_id", n_levels_col.alias("n_levels")))
+    # the ONE driver-visible value: the pyramid depth (a scalar aggregate)
+    total = lvl.agg(F.max("n_levels")).first()[0] or 0
     levels = []
-    spark = tiles.sparkSession
     cur = tiles if value_col == "data" else tiles.withColumnRenamed(value_col, "data")
     for i in range(total):
         # per-level image filter as a broadcast semi-join — an isin() list
         # would grow the plan linearly with image count (100 TB = millions
         # of images); the joined dim stays metadata-scale
-        live = spark.createDataFrame(
-            [(img,) for img, n in n_levels.items() if n >= i + 1],
-            "image_id string")
+        live = lvl.filter(F.col("n_levels") >= i + 1).select("image_id")
         cur = _coarsen_level(cur.join(F.broadcast(live), "image_id", "left_semi"),
                              tile_px, "data")
         levels.append(cur)

@@ -234,3 +234,52 @@ def test_export_gtiff_with_internal_overviews(spark, fused, tmp_path):
         np.testing.assert_array_equal(lv.data, want[n - 1])
         assert lv.nodata is None  # geo/nodata tags on the primary only
     assert g.nodata == -9999.0
+
+
+def test_overview_level_rule_column_matches_python(spark):
+    """The collect-free build_overviews derives per-image level counts as a
+    Spark column (bit-length integer math); it must equal the Python
+    ``overview_level_count`` rule for every (ch, cw) shape in range —
+    including the log2 power-of-two boundaries where float log would
+    drift."""
+    from pyspark.sql import functions as F
+
+    from homonim_spark import grid
+    from homonim_spark.operators.sink import overview_level_count
+
+    tile_px, max_levels, min_px = 8, 8, 256
+    shapes = [(ch, cw) for ch in [1, 2, 3, 31, 32, 33, 63, 64, 65, 255, 256]
+              for cw in [1, 2, 31, 32, 33, 257]]
+    rows = []
+    for i, (ch, cw) in enumerate(shapes):
+        # two corner tiles pin the extent to exactly (ch, cw) cells
+        rows.append((f"img{i}", 0, int(grid.cell_id(0, 0, 0)), ch, cw))
+        rows.append((f"img{i}", 0, int(grid.cell_id(0, ch - 1, cw - 1)), ch, cw))
+    df = spark.createDataFrame(
+        rows, "image_id string, band int, cell_id long, ch int, cw int")
+
+    row, col = grid.cell_row_col_expr(F.col("cell_id"))
+    min_shape = F.least(
+        F.max(row) - F.min(row) + 1, F.max(col) - F.min(col) + 1) * tile_px
+    max_ovw = F.length(F.bin(min_shape)) - F.lit(1)
+    n_col = F.when(min_shape < 1, F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(max_levels),
+                                     max_ovw - F.lit(int(np.log2(min_px))))))
+    got = {r["image_id"]: r["n"]
+           for r in df.groupBy("image_id").agg(n_col.alias("n")).collect()}
+    for i, (ch, cw) in enumerate(shapes):
+        exp = overview_level_count((ch * tile_px, cw * tile_px),
+                                   max_levels, min_px)
+        assert got[f"img{i}"] == exp, (ch, cw, got[f"img{i}"], exp)
+
+
+def test_build_overviews_has_no_image_collect():
+    """Scale hygiene (round-5 verdict #4): build_overviews must not collect
+    per-image rows to the driver — only the scalar pyramid depth."""
+    import inspect
+
+    from homonim_spark.operators import sink
+
+    src = inspect.getsource(sink.build_overviews)
+    assert ".collect()" not in src
+    assert "createDataFrame" not in src
