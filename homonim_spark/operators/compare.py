@@ -124,7 +124,12 @@ def compare_with_mean(tiles: DataFrame) -> DataFrame:
     (``compare.py:177-186``): mean of each statistic over bands, with the
     integer field floor-divided exactly as the reference does
     (``int(v / len)``, ``compare.py:180-183``)."""
-    per_band = compare(tiles).cache()
+    # no .cache(): the union's two branches share the identical heavy
+    # sums-aggregation exchange (AQE stage reuse), so only the tiny final
+    # per-band projection evaluates twice — and nothing is left persisted
+    # across invocations (a cached copy per call leaked under repeated
+    # bench reps; guide §5 caching rules)
+    per_band = compare(tiles)
     mean_row = per_band.groupBy("image_id").agg(
         F.avg("r2").alias("r2"), F.avg("rmse").alias("rmse"), F.avg("rrmse").alias("rrmse"),
         (F.sum("n") / F.count("n")).cast("long").alias("n"),

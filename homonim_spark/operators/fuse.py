@@ -341,6 +341,20 @@ def route_tiles(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
     C = F.floor(col.cast("double") / K).cast("long")
     lr = row - R * K
     lc = col - C * K
+    # Route only to chunks inside the image's OWNED (src-tile) chunk
+    # extent: a destination outside it owns no src tile, so its group can
+    # never emit output — yet border tiles were being shipped there anyway
+    # ("ghost" halo traffic, ~55% of the bench shuffle bytes: a 4×4-cell
+    # image at chunk=4 is a single chunk, making EVERY neighbor ghost).
+    # The extent is a metadata-scale aggregate broadcast by (image_id,
+    # band); dropping ghost destinations cannot change output (guide §2.3
+    # — don't shuffle bytes the consumer discards).
+    ext = (tiles.filter(F.col("role") == "src")
+           .select("image_id", "band", R.alias("_cR"), C.alias("_cC"))
+           .groupBy("image_id", "band")
+           .agg(F.min("_cR").alias("_minR"), F.max("_cR").alias("_maxR"),
+                F.min("_cC").alias("_minC"), F.max("_cC").alias("_maxC")))
+    t = tiles.join(F.broadcast(ext), ["image_id", "band"])
     empty = F.array().cast("array<long>")
     cands = []
     for dR in (-1, 0, 1):
@@ -357,9 +371,11 @@ def route_tiles(tiles: DataFrame, cfg: FuseConfig) -> DataFrame:
                 else (lc == K - 1) if (dC == 1 and ow > 0)
                 else F.lit(False)
             )
+            inb = (R + dR).between(F.col("_minR"), F.col("_maxR")) & \
+                (C + dC).between(F.col("_minC"), F.col("_maxC"))
             dest = grid.cell_id_col(res, R + dR, C + dC)
-            cands.append(F.when(rc & cc, F.array(dest)).otherwise(empty))
-    return tiles.select(
+            cands.append(F.when(rc & cc & inb, F.array(dest)).otherwise(empty))
+    return t.select(
         "image_id", "band", "cell_id", "role", "h", "w", "media_ref", "data",
         F.explode(F.concat(*cands)).alias("chunk_id"),
     )
@@ -397,6 +413,14 @@ def fuse_blocks_routed(routed: DataFrame, cfg: FuseConfig) -> DataFrame:
         ``out`` (dict of lists). ``rows`` = (role, cell_id, h, w,
         media_ref, data) tuples."""
         Rc, Cc = grid.cell_row(int(chunk_id)), grid.cell_col(int(chunk_id))
+        # ghost-group precheck BEFORE any payload decode: a chunk that owns
+        # no src tile emits nothing (sparse interiors can still slip past
+        # the routing extent filter) — skip its canvas/decode work entirely
+        if not any(role == "src"
+                   and grid.cell_row(int(cid)) // K == Rc
+                   and grid.cell_col(int(cid)) // K == Cc
+                   for role, cid, _h, _w, _m, _d in rows):
+            return
         # canvas origins in global pixels (coarse grid; per-role scaled)
         pg0r, pg0c = Rc * span - oh, Cc * span - ow          # coarse grid
         ph_, pw_ = span + 2 * oh, span + 2 * ow

@@ -60,12 +60,15 @@ def get_spark(
         # Arrow is the only Python<->JVM path the engine uses.
         # Batch size: tile rows are ~40-300 KB of binary payload, so the
         # 10k default (and even 2048) builds multi-hundred-MB Arrow batches
-        # that thrash the allocator on both sides of the socket. 256 rows
-        # ≈ 10-80 MB per batch — measured 30-40% faster on the fuse group
-        # stage at local[8] (see BENCH/BASELINE.md round 2).
+        # that thrash the allocator on both sides of the socket; small-row
+        # paths (id pairs, embeddings) instead pay per-batch overhead.
+        # Round-6 interleaved A/B at the bench config: the fuse group stage
+        # is flat across 256/512/1024 while the LSH verify path is ~20%
+        # faster at ≥512 (9k batches → 2.2k), so 512 is the new default —
+        # still ≤ tens of MB per batch for the fattest tile rows.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
         # binary tile payloads make rows heavy; keep file partitions modest
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
