@@ -57,10 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "DIR must be shared storage on a real cluster")
     f.add_argument("--export-epsg", type=int, default=None,
                    help="EPSG code stamped into exported GeoTIFF GeoKeys")
-    f.add_argument("--build-ovw", action="store_true",
+    f.add_argument("--build-ovw", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="build internal overview IFDs (power-of-2 average "
-                        "pyramid) in exported GeoTIFFs — the reference's "
-                        "--build-ovw (cli.py:346)")
+                        "pyramid) in exported GeoTIFFs — ON by default like "
+                        "the reference (cli.py:345; --no-build-ovw disables)")
     f.add_argument("--conf", default=None, metavar="YAML",
                    help="yaml config; fills parameters not given on the "
                         "command line (reference cli.py:88-117 semantics)")

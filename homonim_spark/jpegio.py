@@ -271,6 +271,12 @@ def decode_jpeg(stream: bytes, tables: bytes | None = None) -> np.ndarray:
         raise ValueError("JPEG stream has no SOS/SOF")
     scan, entropy = res
     h, w, comps = st.frame
+    if {cs for cs, _, _ in scan} != {cid for cid, _, _, _ in comps}:
+        # legal sequential JPEGs may split components over several scans;
+        # this baseline decoder consumes only the first SOS (ADVICE r05
+        # #4: fail loudly instead of a bare KeyError downstream)
+        raise ValueError("multi-scan JPEG not supported (scan components "
+                         "differ from frame components)")
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)

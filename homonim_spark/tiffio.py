@@ -435,11 +435,26 @@ def read_gtiff_meta(path: str, ifd: int = 0) -> GTiffMeta:
         if scale and tie and len(tie) >= 6:
             transform = (scale[0], 0.0, tie[3] - tie[0] * scale[0],
                          0.0, -scale[1], tie[4] + tie[1] * scale[1])
+        crs = _parse_geokeys(g(34735))
+        if ifd > 0 and (nodata is None or transform is None or crs is None):
+            # GDAL presents internal overviews with the PRIMARY dataset's
+            # nodata/CRS and a pixel-scaled geotransform; the overview IFD
+            # itself carries none of those tags (ADVICE r05 #1: returning
+            # nodata=None made masked() treat fill values as valid data)
+            m0 = read_gtiff_meta(path, 0)
+            if nodata is None:
+                nodata = m0.nodata
+            if crs is None:
+                crs = m0.crs
+            if transform is None and m0.transform is not None and width and height:
+                a, b, c, d, e, f_ = m0.transform
+                sx, sy = m0.width / width, m0.height / height
+                transform = (a * sx, b, c, d, e * sy, f_)
         return GTiffMeta(
             width=width, height=height, spp=spp, dtype=dtype, comp=comp,
             planar=planar, tiled=tiled, block_w=block_w, block_h=block_h,
             offsets=offsets, counts=counts, nodata=nodata,
-            transform=transform, crs=_parse_geokeys(g(34735)),
+            transform=transform, crs=crs,
             predictor=predictor, bo=bo,
             jpeg_tables=jpeg_tables, photometric=photometric,
         )
@@ -632,9 +647,23 @@ def _ifd_segment(
             raise ValueError("TIFF tiles must be multiples of 16")
         for j in range((h + th - 1) // th):
             for i in range((w + tw - 1) // tw):
-                pad = np.zeros((th, tw, spp), dtype=dt)
-                sub = data[:, j * th: (j + 1) * th, i * tw: (i + 1) * tw]
-                pad[: sub.shape[1], : sub.shape[2]] = np.moveaxis(sub, 0, -1)
+                sub = np.moveaxis(
+                    data[:, j * th: (j + 1) * th, i * tw: (i + 1) * tw],
+                    0, -1)
+                if sub.shape[0] == th and sub.shape[1] == tw:
+                    blocks.append(np.ascontiguousarray(sub))
+                    continue
+                if comp_code == 7:
+                    # JPEG: replicate edges into the padding — a hard step
+                    # to 0 rings through the DCT and corrupts valid pixels
+                    # inside lossy edge tiles (ADVICE r05 #3); the reader
+                    # crops the padding away either way
+                    pad = np.pad(sub, ((0, th - sub.shape[0]),
+                                       (0, tw - sub.shape[1]), (0, 0)),
+                                 mode="edge")
+                else:
+                    pad = np.zeros((th, tw, spp), dtype=dt)
+                    pad[: sub.shape[0], : sub.shape[1]] = sub
                 blocks.append(pad)
     else:
         rps = rows_per_strip
@@ -925,6 +954,7 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
             buf = f.read()
     bo, big, ifd_off = _parse_tiff_header(buf[:16])
     tags, nxt = _read_ifd(buf, ifd_off, bo, big)
+    tags0 = tags  # primary IFD: overview IFDs inherit nodata/geo from it
     for _ in range(ifd):
         if not nxt:
             raise ValueError(f"requested IFD {ifd} but chain ended")
@@ -935,6 +965,8 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
         _, nxt = _read_ifd(buf, nxt, bo, big)
     g = lambda tag, default=None: (_tag_value(buf, tags[tag], bo, big)
                                    if tag in tags else default)
+    g0 = lambda tag, default=None: (_tag_value(buf, tags0[tag], bo, big)
+                                    if tag in tags0 else default)
 
     width, height = g(256)[0], g(257)[0]
     spp = g(277, [1])[0]
@@ -994,6 +1026,10 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
         out = ycc_to_rgb(out.transpose(1, 2, 0)).transpose(2, 0, 1)
     nodata = None
     nd = g(42113)
+    if nd is None and ifd > 0:
+        # GDAL presents internal overviews with the primary dataset's
+        # nodata (the overview IFD carries no nodata tag — ADVICE r05 #1)
+        nd = g0(42113)
     if nd is not None:
         nodata = float(nd.strip())
     meta, band_names = {}, {}
@@ -1006,9 +1042,21 @@ def read_gtiff(src: "str | bytes | bytearray | memoryview",
         # tiepoint (i,j,k,x,y,z): raster (i,j) ↦ model (x,y); north-up
         transform = (scale[0], 0.0, tie[3] - tie[0] * scale[0],
                      0.0, -scale[1], tie[4] + tie[1] * scale[1])
+    crs = _parse_geokeys(g(34735))
+    if ifd > 0:
+        if transform is None:
+            scale0, tie0 = g0(33550), g0(33922)
+            if scale0 and tie0 and len(tie0) >= 6 and width and height:
+                w0, h0 = g0(256)[0], g0(257)[0]
+                transform = (scale0[0] * (w0 / width), 0.0,
+                             tie0[3] - tie0[0] * scale0[0],
+                             0.0, -scale0[1] * (h0 / height),
+                             tie0[4] + tie0[1] * scale0[1])
+        if crs is None:
+            crs = _parse_geokeys(g0(34735))
     return GeoTiff(
         data=out, nodata=nodata,
         band_names=[band_names.get(i, f"B{i + 1}") for i in range(spp)],
-        metadata=meta, transform=transform, crs=_parse_geokeys(g(34735)),
+        metadata=meta, transform=transform, crs=crs,
         n_overviews=n_overviews,
     )

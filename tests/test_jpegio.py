@@ -238,3 +238,37 @@ def test_external_jpegtables_ycbcr_tiff(tmp_path):
     assert meta.comp == 7 and meta.photometric == 6
     assert meta.jpeg_tables is not None
     np.testing.assert_array_equal(decode_window(path, meta, 0, 64), g.data)
+
+
+def test_multiscan_jpeg_raises_loudly():
+    """ADVICE r05 #4: a sequential JPEG whose first SOS covers only some
+    frame components must raise the module's explicit ValueError, not a
+    bare KeyError from the coefficient table."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    s = bytearray(encode_jpeg(img))
+    i = s.find(b"\xff\xda")
+    assert i > 0
+    # rewrite the 3-component SOS header to list ONE component (legal
+    # syntax for a non-interleaved multi-scan stream)
+    orig_len = int.from_bytes(s[i + 2: i + 4], "big")
+    one = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                 0x00, 0x3F, 0x00])
+    s2 = bytes(s[:i]) + one + bytes(s[i + 2 + orig_len:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(s2)
+
+
+def test_jpeg_edge_tile_padding_no_ringing(tmp_path):
+    """ADVICE r05 #3: JPEG edge tiles are padded by edge replication, so
+    lossy DCT ringing from a synthetic 0-step no longer corrupts valid
+    pixels inside tile-unaligned images."""
+    from homonim_spark.tiffio import read_gtiff, write_gtiff
+    # constant mid-gray image, 10px short of the tile grid in both dims
+    img = np.full((1, 118, 86), 200, dtype=np.uint8)
+    path = str(tmp_path / "edge.tif")
+    write_gtiff(path, img, tile=(64, 64), compress="jpeg", jpeg_quality=85)
+    got = read_gtiff(path).data
+    # with edge replication a constant image stays (near-)constant right
+    # up to the border; zero padding produced errors of tens of levels
+    assert np.abs(got.astype(int) - 200).max() <= 2

@@ -232,7 +232,10 @@ def test_export_gtiff_with_internal_overviews(spark, fused, tmp_path):
     for n in range(1, g.n_overviews + 1):
         lv = read_gtiff(m1.iloc[0]["path"], ifd=n)
         np.testing.assert_array_equal(lv.data, want[n - 1])
-        assert lv.nodata is None  # geo/nodata tags on the primary only
+        # nodata TAG lives on the primary IFD only, but the reader
+        # presents overviews with the primary's nodata (GDAL semantics,
+        # ADVICE r05 #1) so masked() works on every pyramid level
+        assert lv.nodata == -9999.0
     assert g.nodata == -9999.0
 
 

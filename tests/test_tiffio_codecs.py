@@ -392,7 +392,13 @@ def test_overview_ifd_chain_roundtrip(tmp_path):
     for n, ov in enumerate(ovs, start=1):
         gn = read_gtiff(path, ifd=n)
         np.testing.assert_array_equal(gn.data, ov)
-        assert gn.crs is None and gn.transform is None  # primary-only tags
+        # tags live on the primary IFD only, but the reader presents
+        # overviews GDAL-style: primary CRS + pixel-scaled transform
+        # (ADVICE r05 #1)
+        assert gn.crs == "EPSG:32633"
+        sx = 900 / ov.shape[2]
+        sy = 1100 / ov.shape[1]
+        assert gn.transform == pytest.approx((1 * sx, 0, 0, 0, -1 * sy, 1100))
     with pytest.raises(ValueError, match="chain ended"):
         read_gtiff(path, ifd=len(ovs) + 1)
     # the windowed (meta/decode_window) path keeps reading the PRIMARY image
@@ -440,3 +446,28 @@ def test_windowed_reads_of_overview_levels(tmp_path):
             decode_window(path, m, 3, m.height - 2), ov[:, 3: m.height - 2])
     with pytest.raises(ValueError, match="chain ended"):
         read_gtiff_meta(path, ifd=len(ovs) + 1)
+
+
+def test_overview_ifd_inherits_nodata(tmp_path):
+    """ADVICE r05 #1: read paths present internal overviews with the
+    PRIMARY dataset's nodata (GDAL semantics) — otherwise masked() treats
+    overview fill values (e.g. -9999) as valid data."""
+    from homonim_spark.tiffio import build_overviews
+    img = np.full((1, 256, 256), 7.0, dtype=np.float32)
+    img[0, :128] = -9999.0
+    ovs = build_overviews(img, nodata=-9999.0, min_level_pixels=64)
+    assert len(ovs) >= 1
+    path = str(tmp_path / "nd.tif")
+    write_gtiff(path, img, nodata=-9999.0, transform=(1, 0, 0, 0, -1, 256),
+                epsg=32633, overviews=ovs)
+    for n in range(1, len(ovs) + 1):
+        gn = read_gtiff(path, ifd=n)
+        assert gn.nodata == -9999.0
+        # masked() must blank the fill half, not show -9999 as data
+        m = gn.masked()
+        assert np.isnan(m[0, : m.shape[1] // 2]).all()
+        mn = read_gtiff_meta(path, ifd=n)
+        assert mn.nodata == -9999.0
+        assert mn.crs == "EPSG:32633"
+        assert mn.transform is not None
+        assert mn.transform[0] == pytest.approx(256 / gn.data.shape[2])

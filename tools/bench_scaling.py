@@ -186,13 +186,18 @@ engine's own contribution is separable.
 
 ## Tuning these measurements surfaced (kept as engine defaults)
 
-- AQE partition *coalescing* disabled — merges shuffle partitions by
-  BYTES, starving CPU-bound pandas-UDF stages (measured 4-6× slowdown);
-  AQE skew-join splitting stays enabled (`session.py`).
-- Arrow batch size 256 rows (was 2048): tile rows are ~40-300 KB, so 2048
-  rows = multi-hundred-MB Arrow batches — allocator churn on both sides of
-  the socket. 256 ≈ tens of MB; measured 30-40% faster on the fuse group
-  stage at local[8] (`session.py`, env `SPARK_GRAFT_ARROW_BATCH`).
+- AQE partition *coalescing* merges shuffle partitions by BYTES, starving
+  CPU-bound pandas-UDF stages (measured 4-6× slowdown).  Since round 6 it
+  is ON globally for the relational side, with the pandas-UDF group
+  exchanges (fuse/ingest) opted out via explicit pinned partition counts
+  (`partitioning.pinned_repartition`); AQE skew-join splitting enabled
+  (`session.py`).
+- Arrow batch size 512 rows (was 2048, then 256): tile rows are
+  ~40-300 KB, so 2048 rows = multi-hundred-MB Arrow batches — allocator
+  churn on both sides of the socket; tiny-row Python paths instead pay
+  per-batch overhead.  Round-6 interleaved A/B: fuse flat across
+  256/512/1024, LSH verify ~20% faster ≥512
+  (`session.py`, env `SPARK_GRAFT_ARROW_BATCH`).
 - Shuffle partitions ≈ 4× cores for the fuse exchange; driver heap sized
   above the cached input (56 GB heap → 110 s vs 80 GB → 33 s at identical
   plan — pure GC).
