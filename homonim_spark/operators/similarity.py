@@ -139,7 +139,13 @@ def cosine_topk_np(
         }
         yield pd.DataFrame(out)
 
-    scored = rebalance(corpus.select(id_col, vec_col)).mapInPandas(
+    # no scan rebalance here (unlike the LSH chain): the corpus pass is a
+    # single light GEMM with map-side top-k and nothing heavy hangs off
+    # the scan partitioning, so for a one-row-group (i.e. small) input the
+    # round-robin exchange costs more than the single-task GEMM it
+    # parallelizes (A/B at sf1.0: 0.48 s vs 0.64 s); large corpora arrive
+    # multi-partition from the scan itself
+    scored = corpus.select(id_col, vec_col).mapInPandas(
         part, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
