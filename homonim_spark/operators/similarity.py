@@ -455,7 +455,8 @@ def embedding_near_duplicates(
                   & (F.col("pa.vid") < F.col("pb.vid")))
             .select(F.col("pa.vid").alias("_va"), F.col("pb.vid").alias("_vb"))
         )
-        return _verify_candidates(c, cand, threshold, verify_broadcast_bytes)
+        return _verify_candidates(c, cand, threshold, verify_broadcast_bytes,
+                                  dim)
     return (
         pairs.select(
             F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
@@ -467,7 +468,7 @@ def embedding_near_duplicates(
 
 
 def _verify_candidates(c: DataFrame, cand: DataFrame, threshold: float,
-                       verify_broadcast_bytes: int) -> DataFrame:
+                       verify_broadcast_bytes: int, dim: int) -> DataFrame:
     """Exact cosine verification of candidate id pairs, vectorized.
 
     The per-pair higher-order-function cosine (zip_with + three aggregate
@@ -489,11 +490,14 @@ def _verify_candidates(c: DataFrame, cand: DataFrame, threshold: float,
     corpus and pinned by tests against the exact path).
     """
     spark = c.sparkSession
-    # one metadata job for the size decision (count + dim together)
-    n_vec, dim_vec = c.agg(F.count("*"), F.max(F.size("vec"))).first()
-    matrix_bytes = n_vec * (dim_vec or 0) * 8
-    if n_vec and matrix_bytes <= verify_broadcast_bytes:
-        pdf = c.toPandas()
+    # ONE job decides the path AND fetches the matrix: collect up to
+    # cap+1 rows (cap = rows that fit the broadcast budget at the declared
+    # dim).  If the limit did not truncate, the collected frame IS the
+    # whole corpus; a 100 TB corpus stops the scan after cap+1 rows
+    # instead of paying a full count.
+    cap = max(1, verify_broadcast_bytes // (8 * dim))
+    pdf = c.limit(cap + 1).toPandas()
+    if 0 < len(pdf) <= cap:
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         V = np.asarray(list(pdf["vec"]), dtype=np.float64)
         order = np.argsort(ids)
